@@ -1,0 +1,203 @@
+"""End-to-end classification pipeline: reads -> TSV rows + metrics.
+
+Host-side orchestration shared by the numpy oracle backend and the TPU
+batch engine. Handles read filters, per-read RNG, result selection, row
+formatting, and species metrics accumulation, matching the reference
+driver (centrifuge.cpp:2440-2760) and sink (aln_sink.h) byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..index.cf_io import CFIndex
+from ..io.fastx import ReadRec
+from ..utils.rng import LCG, gen_read_seed
+from .algo import AlnResult, Classifier, ClassifierConfig, select_results
+
+DEFAULT_COLUMNS = ["readID", "seqID", "taxID", "score", "2ndBestScore",
+                   "hitLength", "queryLength", "numMatches"]
+
+
+class SpeciesMetrics:
+    """Per-taxon read counts + abundance equivalence classes.
+
+    Mirrors SpeciesMetrics (aln_sink.h:56-507). `cur_ids` accumulates the
+    taxIDs of max-score rows until it holds `nresult` entries; the
+    reference carries leftovers across reads, and so do we.
+    """
+
+    def __init__(self):
+        # tid -> [n_reads, sum_score, summed_hit_len, weighted_reads, n_unique]
+        self.species_counts: Dict[int, list] = {}
+        self.observed: Dict[Tuple[int, ...], int] = {}
+        self.cur_ids: List[int] = []
+
+    def add(self, tax_id: int, score: int, max_score: int,
+            summed_hit_len: float, nresult: int) -> None:
+        sc = self.species_counts.setdefault(tax_id, [0, 0, 0.0, 0.0, 0])
+        sc[0] += 1
+        sc[1] += 1  # the reference adds 1, not the score (aln_sink.h:151)
+        sc[3] += 1.0 / nresult
+        sc[2] += summed_hit_len
+        if nresult == 1:
+            sc[4] += 1
+        if score >= max_score:
+            self.cur_ids.append(tax_id)
+            if len(self.cur_ids) == nresult:
+                key = tuple(sorted(self.cur_ids))
+                self.observed[key] = self.observed.get(key, 0) + 1
+                self.cur_ids.clear()
+
+    def merge(self, other: "SpeciesMetrics") -> None:
+        for tid, sc in other.species_counts.items():
+            mine = self.species_counts.setdefault(tid, [0, 0, 0.0, 0.0, 0])
+            for i in range(5):
+                mine[i] += sc[i]
+        for key, cnt in other.observed.items():
+            self.observed[key] = self.observed.get(key, 0) + cnt
+
+
+def format_tax_id(tid: int) -> str:
+    """taxIDs >32 bits print as lo.hi (aln_sink.h:2236-2250)."""
+    lo = tid & 0xFFFFFFFF
+    hi = tid >> 32
+    return f"{lo}.{hi}" if hi > 0 else str(lo)
+
+
+def format_read_id(name: bytes) -> str:
+    """Strip a trailing /1,/2,/3 and stop at whitespace (aln_sink.h:2202-2217)."""
+    n = len(name)
+    if n >= 2 and name[n - 2] == ord("/") and name[n - 1] in (ord("1"), ord("2"), ord("3")):
+        name = name[: n - 2]
+    out = bytearray()
+    for b in name:
+        if b in b" \t\r\n\x0b\x0c":
+            break
+        out.append(b)
+    return out.decode()
+
+
+@dataclass
+class PipelineConfig:
+    classifier: ClassifierConfig = field(default_factory=ClassifierConfig)
+    seed: int = 0
+    columns: List[str] = field(default_factory=lambda: list(DEFAULT_COLUMNS))
+    # N-filter ceiling f(len) = min(2 + 0.1*len, len)  (centrifuge.cpp:425)
+    n_ceil_const: float = 2.0
+    n_ceil_coef: float = 0.1
+    min_read_len: int = 2
+
+
+def n_filter(seq: np.ndarray, n_ceil_const: float, n_ceil_coef: float) -> bool:
+    """True iff the read passes the max-N filter (scoring.cpp:104-117)."""
+    maxns = min(int(n_ceil_const + n_ceil_coef * len(seq)), len(seq))
+    return int(np.count_nonzero(seq == 4)) <= maxns
+
+
+class ResultFormatter:
+    """Formats AlnResults into output TSV rows and updates metrics."""
+
+    def __init__(self, idx: CFIndex, cfg: PipelineConfig):
+        self.idx = idx
+        self.cfg = cfg
+        self.tree = idx.taxonomy.tree
+
+    def header(self) -> str:
+        return "\t".join(self.cfg.columns)
+
+    def rows_for_read(self, name: bytes, qlen: int,
+                      results: List[AlnResult], secbest: int,
+                      spm: SpeciesMetrics,
+                      unclassified: bool) -> List[str]:
+        from ..index.taxonomy import rank_string
+        rows = []
+        if unclassified or not results:
+            results = [AlnResult(score=0, max_score=0, uid="unclassified",
+                                 tax_id=0, tax_rank=0, summed_len=0.0,
+                                 read_positions=[(0, 0)], is_fw=True)]
+            secbest = 0
+        n_results = len(results)
+        rid = format_read_id(name)
+        for r in results:
+            node = self.tree.get(r.tax_id)
+            leaf = node.leaf if node is not None else True
+            seq_id = r.uid if leaf else rank_string(r.tax_rank)
+            vals = []
+            for col in self.cfg.columns:
+                if col == "readID":
+                    vals.append(rid)
+                elif col == "seqID":
+                    vals.append(seq_id)
+                elif col == "taxID":
+                    vals.append(format_tax_id(r.tax_id))
+                elif col == "score":
+                    vals.append(str(r.score))
+                elif col == "2ndBestScore":
+                    vals.append(str(secbest))
+                elif col == "hitLength":
+                    vals.append(str(int(r.summed_len)))
+                elif col == "queryLength":
+                    vals.append(str(qlen))
+                elif col == "numMatches":
+                    vals.append(str(n_results))
+                elif col == "taxRank":
+                    vals.append(rank_string(r.tax_rank))
+                elif col == "taxName":
+                    vals.append(self.idx.taxonomy.names.get(r.tax_id, ""))
+                else:
+                    vals.append("")
+            rows.append("\t".join(vals))
+            spm.add(r.tax_id, r.score, r.max_score, r.summed_len, n_results)
+        return rows
+
+
+class ClassificationPipeline:
+    """Oracle (host) pipeline: classify an iterable of reads."""
+
+    def __init__(self, idx: CFIndex, fm, cfg: Optional[PipelineConfig] = None):
+        self.idx = idx
+        self.cfg = cfg or PipelineConfig()
+        self.classifier = Classifier(idx, fm, self.cfg.classifier)
+        self.formatter = ResultFormatter(idx, self.cfg)
+        self.spm = SpeciesMetrics()
+
+    def _passes(self, rec: ReadRec) -> bool:
+        if len(rec.seq) < self.cfg.min_read_len:
+            return False
+        return n_filter(rec.seq, self.cfg.n_ceil_const, self.cfg.n_ceil_coef)
+
+    def classify_unpaired(self, rec: ReadRec) -> List[str]:
+        if not self._passes(rec):
+            return self.formatter.rows_for_read(
+                rec.name, len(rec.seq), [], 0, self.spm, unclassified=True)
+        results = self.classifier.classify([(rec.seq, rec.revcomp())], paired=False)
+        rnd = LCG(gen_read_seed(rec.seq, rec.qual, rec.name, self.cfg.seed))
+        chosen, secbest = select_results(results, self.cfg.classifier.khits, rnd)
+        return self.formatter.rows_for_read(
+            rec.name, len(rec.seq), chosen, secbest, self.spm,
+            unclassified=not chosen)
+
+    def classify_paired(self, rec1: ReadRec, rec2: ReadRec) -> List[str]:
+        p1, p2 = self._passes(rec1), self._passes(rec2)
+        qlen = len(rec1.seq) + len(rec2.seq)
+        if not p1 and not p2:
+            return self.formatter.rows_for_read(
+                rec1.name, qlen, [], 0, self.spm, unclassified=True)
+        seed1 = gen_read_seed(rec1.seq, rec1.qual, rec1.name, self.cfg.seed)
+        if p1 and p2:
+            seed2 = gen_read_seed(rec2.seq, rec2.qual, rec2.name, self.cfg.seed)
+            rnd = LCG(seed1 ^ seed2)
+            mates = [(rec1.seq, rec1.revcomp()), (rec2.seq, rec2.revcomp())]
+            results = self.classifier.classify(mates, paired=True)
+        else:
+            rnd = LCG(seed1)
+            rec = rec1 if p1 else rec2
+            results = self.classifier.classify([(rec.seq, rec.revcomp())], paired=False)
+        chosen, secbest = select_results(results, self.cfg.classifier.khits, rnd)
+        return self.formatter.rows_for_read(
+            rec1.name, qlen, chosen, secbest, self.spm,
+            unclassified=not chosen)

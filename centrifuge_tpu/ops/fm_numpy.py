@@ -99,11 +99,13 @@ class FMOracle:
     # ---- ftab ----
 
     def ftab_lookup(self, codes: np.ndarray) -> Tuple[int, int]:
-        """Initial range for the last `ftab_chars` codes (backward order).
+        """Initial range for the last `ftab_chars` codes of a search.
 
-        `codes` = the window of the pattern being consumed, in pattern order;
-        the integer is built by consuming right-to-left
-        (bt2_idx.h:1830-1854). Returns (top, bot); any code > 3 gives (0, 0).
+        `codes` = the window of the pattern, in pattern order; the integer
+        packs the window left-to-right (first char in the most significant
+        bit-pair) because the classify index is loaded fw
+        (bt2_idx.h:1830-1854 with fw()==true; centrifuge.cpp:2878-2882).
+        Returns (top, bot); any code > 3 gives (0, 0).
         """
         fc = self.idx.ftab_chars
         assert codes.shape[0] == fc
@@ -111,7 +113,7 @@ class FMOracle:
             return 0, 0
         fi = 0
         for i in range(fc):
-            fi = (fi << 2) | int(codes[fc - 1 - i])
+            fi = (fi << 2) | int(codes[i])
         return int(self.idx.ftab_top[fi]), int(self.idx.ftab_bot[fi])
 
     # ---- SA resolution ----

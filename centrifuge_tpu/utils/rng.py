@@ -1,0 +1,54 @@
+"""Deterministic per-read RNG matching the reference's tie-breaking.
+
+The reference shuffles equal-score result streaks with a small LCG seeded
+per read from the read's content (random_source.h:34-61, pat.h:55-91,
+ds.h:784-795). Byte-for-byte output parity requires replicating all three.
+"""
+
+from __future__ import annotations
+
+M32 = 0xFFFFFFFF
+LCG_A = 1664525
+LCG_C = 1013904223
+
+
+class LCG:
+    """32-bit LCG; nextU32 mixes two steps (random_source.h:52-61)."""
+
+    def __init__(self, seed: int = 0):
+        self.last = seed & M32
+
+    def next_u32(self) -> int:
+        self.last = (LCG_A * self.last + LCG_C) & M32
+        ret = self.last >> 16
+        self.last = (LCG_A * self.last + LCG_C) & M32
+        return (ret ^ self.last) & M32
+
+
+def shuffle_portion(items: list, begin: int, num: int, rnd: LCG) -> None:
+    """In-place partial Fisher-Yates exactly as EList::shufflePortion."""
+    if num < 2:
+        return
+    left = num
+    for i in range(begin, begin + num - 1):
+        r = rnd.next_u32() % left
+        if r > 0:
+            items[i], items[i + r] = items[i + r], items[i]
+        left -= 1
+
+
+def gen_read_seed(seq_codes, qual: bytes, name: bytes, seed: int) -> int:
+    """Per-read seed from sequence codes (0-4), quals, and name (pat.h:55-91).
+
+    The name contributes only up to the first '/'.
+    """
+    rseed = ((seed + 101) * 59 * 61 * 67 * 71 * 73 * 79 * 83) & M32
+    for i, p in enumerate(seq_codes):
+        rseed ^= int(p) << ((i & 15) << 1)
+    for i, p in enumerate(qual):
+        rseed ^= p << ((i & 3) << 3)
+    for i, p in enumerate(name):
+        if p == ord("/"):
+            break
+        rseed ^= p << ((i & 3) << 3)
+    return rseed & M32

@@ -1,0 +1,32 @@
+import os
+import sys
+
+# Multi-chip sharding tests run on a virtual 8-device CPU mesh; the bench
+# path (bench.py) sets its own platform outside pytest.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    (os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip(),
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+@pytest.fixture(scope="session")
+def example_index():
+    from centrifuge_tpu.index.cf_io import load_cf_index
+    return load_cf_index(os.path.join(FIXTURES, "example", "test"))
+
+
+@pytest.fixture(scope="session")
+def synth_index():
+    from centrifuge_tpu.index.cf_io import load_cf_index
+    return load_cf_index(os.path.join(FIXTURES, "synth", "synth"))
+
+
+def fixture_path(*parts: str) -> str:
+    return os.path.join(FIXTURES, *parts)
