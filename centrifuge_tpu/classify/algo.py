@@ -154,15 +154,16 @@ def search_from_offset(fm, seq: np.ndarray, offset: int) -> PartialHit:
     return st.hits[0]
 
 
-def extend_and_filter(fm, seq_fw: np.ndarray, seq_rc: np.ndarray,
+def extend_and_filter(do_search, rdlen: int,
                       states: List[StrandState], sums: List[int],
                       min_hitlen: int, ihits: int) -> None:
     """Cross-strand extension, over-mapped dedup, and intra-strand trim.
 
     Mirrors classifier.h:789-895 exactly, including in-place hit mutation
-    mid-loop.
+    mid-loop. `do_search(strand_idx, offset)` must return the first
+    partial hit of a fresh search from `offset` on that strand (the
+    oracle runs it inline; the TPU path serves it from a batched cache).
     """
-    rdlen = len(seq_fw)
     hits_fw, hits_rc = states[0].hits, states[1].hits
     if sums[0] >= min_hitlen and sums[1] >= min_hitlen:
         # extension: if a hit on one strand is covered further by an
@@ -186,12 +187,12 @@ def extend_and_filter(fm, seq_fw: np.ndarray, seq_rc: np.ndarray,
                 if (l < rc_l and r > rc_r) or (l > rc_l and r < rc_r):
                     continue
                 if l > rc_l:
-                    tmp = search_from_offset(fm, seq_fw, rc_l)
+                    tmp = do_search(0, rc_l)
                     if tmp.length == length + l - rc_l:
                         hit.top, hit.bot = tmp.top, tmp.bot
                         hit.bwoff, hit.length = tmp.bwoff, tmp.length
                 if r > rc_r:
-                    tmp = search_from_offset(fm, seq_rc, rdlen - r)
+                    tmp = do_search(1, rdlen - r)
                     if tmp.length == rclen + r - rc_r:
                         rchit.top, rchit.bot = tmp.top, tmp.bot
                         rchit.bwoff, rchit.length = tmp.bwoff, tmp.length
@@ -380,7 +381,9 @@ class Classifier:
             st, total = search_strand(self.fm, seq, self.cfg.min_hitlen, self.increment)
             states.append(st)
             sums.append(total)
-        extend_and_filter(self.fm, seq_fw, seq_rc, states, sums,
+        seqs = (seq_fw, seq_rc)
+        do_search = lambda si, off: search_from_offset(self.fm, seqs[si], off)
+        extend_and_filter(do_search, len(seq_fw), states, sums,
                           self.cfg.min_hitlen, self.ihits)
         return states
 
@@ -396,13 +399,26 @@ class Classifier:
         Returns reportable results (empty => unclassified). Follows
         Classifier::go (classifier.h:212-571).
         """
+        mate_states = [self.search_mate(fw, rc) for fw, rc in mates]
+        return self.classify_with_states(
+            mates, mate_states, paired, self.resolve_range)
+
+    def classify_with_states(self, mates, mate_states, paired: bool,
+                             resolve_fn) -> List[AlnResult]:
+        """Classification given precomputed per-mate strand states.
+
+        `resolve_fn(top, bot, nelt)` supplies SA resolutions; the sequence
+        of its invocations is independent of the values it returns, which
+        lets the TPU path run this twice: once recording requests, once
+        consuming batch-resolved values.
+        """
         cfg = self.cfg
         hit_map: List[HitCount] = []
         max_genome_hit_size = cfg.khits
         ts = 0
         is_fw = False
         for rdi, (seq_fw, seq_rc) in enumerate(mates):
-            states = self.search_mate(seq_fw, seq_rc)
+            states = mate_states[rdi]
             fw_start, fw_end = choose_strand(states, cfg.min_hitlen)
             for fwi in range(fw_start, fw_end):
                 st = states[fwi]
@@ -427,7 +443,7 @@ class Classifier:
                         ts += 1
                         continue
                     nelt = min(h.size, max_genome_hit_size)
-                    seq_ids = self.resolve_range(h.top, h.bot, nelt)
+                    seq_ids = resolve_fn(h.top, h.bot, nelt)
                     if not seq_ids:
                         ts += 1
                         continue

@@ -1,0 +1,221 @@
+"""Batched FM backward-search engine: thousands of reads in lockstep.
+
+The per-read greedy partial-hit scan (hi_aligner.h:902-1031 + the
+classifier driver policy, classifier.h:666-772) is re-expressed as a
+vectorized integer state machine: every lane is one (read, strand) pair;
+one `lax.while_loop` iteration performs, per lane, either a search start
+(N-window check + ftab prime) or a one-character LF extension. All memory
+traffic is batched gathers into the block-packed BWT (ops/fm_jax.py), so
+the machine is HBM-bandwidth-bound, which is the design target for TPU.
+
+Hits are written into fixed-size per-lane buffers; the host converts them
+into the same PartialHit lists the oracle produces, and the remaining
+(cheap, irregular) per-read logic is shared host code (classify/algo.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fm_jax import (DeviceFMIndex, bwt_char_kernel, lf_kernel)
+
+NEG = jnp.int32(-1)
+
+
+def _precompute_windows(rseq: jax.Array, ftab_chars: int):
+    """Per-position ftab integers and first-N offsets.
+
+    rseq: (L, Lmax+ftab_chars) int32, reversed reads padded with 0s.
+    Returns fi (L, Lmax) int32 and first_n (L, Lmax) int32 in [0, fc].
+    fi packs the window so the char nearest the right end of the read sits
+    in the least-significant bit-pair (bt2_idx.h:1830-1854 with fw()).
+    """
+    L, Lpad = rseq.shape
+    lmax = Lpad - ftab_chars
+    fi = jnp.zeros((L, lmax), dtype=jnp.int32)
+    first_n = jnp.full((L, lmax), ftab_chars, dtype=jnp.int32)
+    for j in range(ftab_chars - 1, -1, -1):
+        cj = jax.lax.dynamic_slice_in_dim(rseq, j, lmax, axis=1)
+        fi = fi | (jnp.clip(cj, 0, 3) << (2 * j))
+        first_n = jnp.where(cj > 3, jnp.int32(j), first_n)
+    return fi, first_n
+
+
+@functools.partial(jax.jit, static_argnames=("min_hitlen", "increment",
+                                             "max_hits", "first_hit_only"))
+def batched_search(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff,
+                   rseq, lengths, start_cur,
+                   min_hitlen: int, increment: int, max_hits: int,
+                   first_hit_only: bool):
+    """Run the full per-strand scan for every lane.
+
+    rseq: (L, Lmax + fc) int32 reversed+padded reads.
+    lengths: (L,) int32; start_cur: (L,) int32 initial cursors.
+    Returns (hit_top, hit_bot, hit_bwoff, hit_len, nhits, sums): hits in
+    emission order; empty pseudo-hits have top == bot == -1.
+    """
+    fc = 10  # ftab_chars; geometry fixed by the index format default
+    L = rseq.shape[0]
+    lmax = rseq.shape[1] - fc
+    fi_tab, firstn_tab = _precompute_windows(rseq, fc)
+    lanes = jnp.arange(L, dtype=jnp.int32)
+
+    def gather_pos(tab, pos):
+        return tab[lanes, jnp.clip(pos, 0, tab.shape[1] - 1)]
+
+    state = dict(
+        cur=start_cur,
+        done=lengths <= start_cur,
+        mode=jnp.zeros(L, jnp.int32),        # 0 = start, 1 = extend
+        offset=jnp.zeros(L, jnp.int32),
+        dep=jnp.zeros(L, jnp.int32),
+        top=jnp.zeros(L, jnp.int32),
+        bot=jnp.zeros(L, jnp.int32),
+        nhits=jnp.zeros(L, jnp.int32),
+        sums=jnp.zeros(L, jnp.int32),
+        h_top=jnp.full((L, max_hits), -1, jnp.int32),
+        h_bot=jnp.full((L, max_hits), -1, jnp.int32),
+        h_off=jnp.zeros((L, max_hits), jnp.int32),
+        h_len=jnp.zeros((L, max_hits), jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.any(~s["done"])
+
+    def body(s):
+        cur, done, mode = s["cur"], s["done"], s["mode"]
+        n = lengths
+        active = ~done
+        starting = active & (mode == 0)
+        extending = active & (mode == 1)
+
+        # ---------------- start phase ----------------
+        left = n - cur
+        case_a = starting & (left < fc)
+        fN = gather_pos(firstn_tab, cur)
+        case_b = starting & ~case_a & (fN < fc)
+        fi = jnp.clip(gather_pos(fi_tab, cur), 0, fm_ftab_top.shape[0] - 1)
+        ftop = fm_ftab_top[fi]
+        fbot = fm_ftab_bot[fi]
+        case_c_empty = starting & ~case_a & ~case_b & (fbot <= ftop)
+        case_c_go = starting & ~case_a & ~case_b & (fbot > ftop)
+
+        start_newcur = jnp.where(
+            case_a, n, jnp.where(case_b, cur + fN + 1, cur + fc))
+        start_emit = case_a | case_b | case_c_empty
+
+        # ---------------- extend phase ----------------
+        dep, top, bot = s["dep"], s["top"], s["bot"]
+        at_end = extending & (dep >= n)
+        stepping = extending & (dep < n)
+        c = gather_pos(rseq, dep)
+        cq = jnp.clip(c, 0, 3)
+        rows_t = jnp.where(stepping, top, 0)
+        rows_b = jnp.where(stepping, bot, 0)
+        t2 = lf_kernel(fm_blocks, fm_fchr, zoff, rows_t, cq)
+        topchar = bwt_char_kernel(fm_blocks, rows_t)
+        single = (bot - top) == 1
+        b2 = jnp.where(single, t2 + 1,
+                       lf_kernel(fm_blocks, fm_fchr, zoff, rows_b, cq))
+        fail = stepping & (
+            (c > 3)
+            | (single & ((topchar != cq) | (top == zoff)))
+            | (b2 <= t2))
+        advance = stepping & ~fail
+        ext_emit = at_end | fail
+
+        # ---------------- emission ----------------
+        emit = start_emit | ext_emit
+        e_top = jnp.where(ext_emit, top, NEG)
+        e_bot = jnp.where(ext_emit, bot, NEG)
+        e_off = jnp.where(ext_emit, s["offset"], cur)
+        e_cur = jnp.where(ext_emit, dep, start_newcur)  # cursor after search
+        e_len = e_cur - e_off
+
+        slot = jnp.clip(s["nhits"], 0, max_hits - 1)
+        def wr(buf, val):
+            return buf.at[lanes, slot].set(jnp.where(emit, val, buf[lanes, slot]))
+        h_top = wr(s["h_top"], e_top)
+        h_bot = wr(s["h_bot"], e_bot)
+        h_off = wr(s["h_off"], e_off)
+        h_len = wr(s["h_len"], e_len)
+        nhits = s["nhits"] + emit.astype(jnp.int32)
+        sums = s["sums"] + jnp.where(emit & (e_len >= min_hitlen), e_len, 0)
+
+        # ---------------- post-emission driver policy ----------------
+        # partialSearch marks done when the cursor reaches the read end;
+        # otherwise the driver may skip one position and re-checks the
+        # tail-room bound (classifier.h:685-766)
+        done_search = emit & (e_cur >= n)
+        policy = emit & ~done_search
+        cur_after = jnp.where(
+            policy & (e_len > increment), e_cur + 1, e_cur)
+        new_done_lane = done_search | (policy & (cur_after + min_hitlen >= n))
+        if first_hit_only:
+            new_done_lane = emit  # single partialSearch per lane
+
+        new_cur = jnp.where(emit, cur_after, cur)
+        new_done = done | (emit & new_done_lane)
+        new_mode = jnp.where(emit, 0, jnp.where(case_c_go, 1, mode))
+        new_offset = jnp.where(case_c_go, cur, s["offset"])
+        new_dep = jnp.where(case_c_go, cur + fc,
+                            jnp.where(advance, dep + 1, dep))
+        new_top = jnp.where(case_c_go, ftop, jnp.where(advance, t2, top))
+        new_bot = jnp.where(case_c_go, fbot, jnp.where(advance, b2, bot))
+
+        return dict(cur=new_cur, done=new_done, mode=new_mode,
+                    offset=new_offset, dep=new_dep, top=new_top,
+                    bot=new_bot, nhits=nhits, sums=sums,
+                    h_top=h_top, h_bot=h_bot, h_off=h_off, h_len=h_len)
+
+    out = jax.lax.while_loop(cond, body, state)
+    return (out["h_top"], out["h_bot"], out["h_off"], out["h_len"],
+            out["nhits"], out["sums"])
+
+
+class BatchSearchEngine:
+    """Host wrapper: pack reads -> device search -> PartialHit lists."""
+
+    def __init__(self, fm: DeviceFMIndex, min_hitlen: int = 22):
+        self.fm = fm
+        self.min_hitlen = min_hitlen
+        self.increment = 10 if 2 * min_hitlen <= 33 else 2 * min_hitlen - 33
+
+    def pack(self, seqs: List[np.ndarray], lmax: int) -> Tuple[np.ndarray, np.ndarray]:
+        fc = self.fm.ftab_chars
+        L = len(seqs)
+        rseq = np.zeros((L, lmax + fc), dtype=np.int32)
+        lengths = np.zeros(L, dtype=np.int32)
+        for i, s in enumerate(seqs):
+            lengths[i] = len(s)
+            rseq[i, :len(s)] = s[::-1].astype(np.int32)
+        return rseq, lengths
+
+    def search(self, seqs: List[np.ndarray]):
+        """Full scan for each sequence; returns per-lane raw hit arrays."""
+        lmax = max((len(s) for s in seqs), default=1)
+        rseq, lengths = self.pack(seqs, lmax)
+        start = np.zeros(len(seqs), dtype=np.int32)
+        res = batched_search(
+            self.fm.blocks, self.fm.fchr, self.fm.ftab_top, self.fm.ftab_bot,
+            jnp.int32(self.fm.zoff), jnp.asarray(rseq), jnp.asarray(lengths),
+            jnp.asarray(start), min_hitlen=self.min_hitlen,
+            increment=self.increment, max_hits=lmax, first_hit_only=False)
+        return [np.asarray(r) for r in res]
+
+    def search_first_hits(self, seqs: List[np.ndarray], offsets: np.ndarray):
+        """One partialSearch per lane from the given offsets (extension pass)."""
+        lmax = max((len(s) for s in seqs), default=1)
+        rseq, lengths = self.pack(seqs, lmax)
+        res = batched_search(
+            self.fm.blocks, self.fm.fchr, self.fm.ftab_top, self.fm.ftab_bot,
+            jnp.int32(self.fm.zoff), jnp.asarray(rseq), jnp.asarray(lengths),
+            jnp.asarray(offsets.astype(np.int32)), min_hitlen=self.min_hitlen,
+            increment=self.increment, max_hits=1, first_hit_only=True)
+        return [np.asarray(r) for r in res]

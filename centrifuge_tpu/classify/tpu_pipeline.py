@@ -1,0 +1,254 @@
+"""Batched TPU classification pipeline.
+
+Device side: the lockstep FM search (classify/engine.py) and the batched
+SA-resolution walker (ops/fm_jax.py). Host side: the shared per-read
+assignment logic (classify/algo.py), run in a two-pass
+record-requests/consume-values pattern so every device interaction is one
+big batch:
+
+  1. one batched full-scan search over all (read, strand) lanes
+  2. a (rare) fixpoint of batched single-search calls for the
+     cross-strand extension pass
+  3. one batched SA-resolution call for all candidate ranges
+  4. host assignment + row formatting (byte-parity with the oracle)
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..index.cf_io import CFIndex
+from ..io.fastx import ReadRec
+from ..ops.fm_jax import DeviceFMIndex, make_resolver
+from ..utils.rng import LCG, gen_read_seed
+from .algo import (OFF_MASK, Classifier, PartialHit, StrandState,
+                   extend_and_filter, select_results)
+from .engine import BatchSearchEngine
+from .pipeline import (PipelineConfig, ResultFormatter, SpeciesMetrics,
+                       n_filter)
+
+
+class _Pending(Exception):
+    """Raised when an extension re-search is not yet in the cache."""
+
+
+def _states_from_arrays(h_top, h_bot, h_off, h_len, nhits, sums, lane,
+                        length) -> Tuple[StrandState, int]:
+    st = StrandState(length)
+    st.cur = length
+    st.done = True
+    k = int(nhits[lane])
+    for j in range(k):
+        t = int(h_top[lane, j])
+        b = int(h_bot[lane, j])
+        st.hits.append(PartialHit(
+            OFF_MASK if t < 0 else t, OFF_MASK if b < 0 else b,
+            int(h_off[lane, j]), int(h_len[lane, j])))
+    return st, int(sums[lane])
+
+
+class TPUClassificationPipeline:
+    """Classify batches of reads with device-accelerated search/resolve."""
+
+    def __init__(self, idx: CFIndex, cfg: Optional[PipelineConfig] = None,
+                 device=None):
+        self.idx = idx
+        self.cfg = cfg or PipelineConfig()
+        self.dfm = DeviceFMIndex.build(idx, device=device)
+        self.engine = BatchSearchEngine(self.dfm, self.cfg.classifier.min_hitlen)
+        self.resolver = make_resolver(self.dfm)
+        # host-side classifier: algorithm only, no FM oracle needed
+        self.classifier = Classifier(idx, None, self.cfg.classifier)
+        self.formatter = ResultFormatter(idx, self.cfg)
+        self.spm = SpeciesMetrics()
+
+    # ---- batched units ----
+
+    def classify_batch_unpaired(self, recs: Sequence[ReadRec]) -> List[str]:
+        units = [[(r.seq, r.revcomp())] for r in recs]
+        passes = [n_filter(r.seq, self.cfg.n_ceil_const, self.cfg.n_ceil_coef)
+                  and len(r.seq) >= self.cfg.min_read_len for r in recs]
+        results = self._classify_units(units, passes, paired=False)
+        rows: List[str] = []
+        for rec, ok, res in zip(recs, passes, results):
+            rnd = LCG(gen_read_seed(rec.seq, rec.qual, rec.name, self.cfg.seed))
+            chosen, secbest = select_results(res, self.cfg.classifier.khits, rnd) \
+                if ok else ([], 0)
+            rows.extend(self.formatter.rows_for_read(
+                rec.name, len(rec.seq), chosen, secbest, self.spm,
+                unclassified=not chosen))
+        return rows
+
+    def classify_batch_paired(self, pairs: Sequence[Tuple[ReadRec, ReadRec]]
+                              ) -> List[str]:
+        units = []
+        passes = []
+        paired_flags = []
+        for r1, r2 in pairs:
+            p1 = n_filter(r1.seq, self.cfg.n_ceil_const, self.cfg.n_ceil_coef) \
+                and len(r1.seq) >= self.cfg.min_read_len
+            p2 = n_filter(r2.seq, self.cfg.n_ceil_const, self.cfg.n_ceil_coef) \
+                and len(r2.seq) >= self.cfg.min_read_len
+            passes.append((p1, p2))
+            if p1 and p2:
+                units.append([(r1.seq, r1.revcomp()), (r2.seq, r2.revcomp())])
+                paired_flags.append(True)
+            elif p1:
+                units.append([(r1.seq, r1.revcomp())])
+                paired_flags.append(False)
+            elif p2:
+                units.append([(r2.seq, r2.revcomp())])
+                paired_flags.append(False)
+            else:
+                units.append([])
+                paired_flags.append(False)
+        results = self._classify_units(units, [bool(u) for u in units],
+                                       paired=None, paired_flags=paired_flags)
+        rows: List[str] = []
+        for (r1, r2), (p1, p2), res in zip(pairs, passes, results):
+            qlen = len(r1.seq) + len(r2.seq)
+            if p1 or p2:
+                seed1 = gen_read_seed(r1.seq, r1.qual, r1.name, self.cfg.seed)
+                if p1 and p2:
+                    seed2 = gen_read_seed(r2.seq, r2.qual, r2.name, self.cfg.seed)
+                    rnd = LCG(seed1 ^ seed2)
+                else:
+                    rnd = LCG(seed1)
+                chosen, secbest = select_results(
+                    res, self.cfg.classifier.khits, rnd)
+            else:
+                chosen, secbest = [], 0
+            rows.extend(self.formatter.rows_for_read(
+                r1.name, qlen, chosen, secbest, self.spm,
+                unclassified=not chosen))
+        return rows
+
+    # ---- core batch machinery ----
+
+    def _classify_units(self, units, active, paired, paired_flags=None):
+        """units: per read/pair a list of (seq_fw, seq_rc) mates."""
+        cls = self.classifier
+        cfg = self.cfg.classifier
+        # 1. batched full search over all lanes
+        lane_seqs: List[np.ndarray] = []
+        lane_map: List[Tuple[int, int, int]] = []  # (unit, mate, strand)
+        for ui, (unit, ok) in enumerate(zip(units, active)):
+            if not ok:
+                continue
+            for mi, (fw, rc) in enumerate(unit):
+                lane_seqs.append(fw)
+                lane_map.append((ui, mi, 0))
+                lane_seqs.append(rc)
+                lane_map.append((ui, mi, 1))
+        if not lane_seqs:
+            return [[] for _ in units]
+        arrays = self.engine.search(lane_seqs)
+
+        pristine: Dict[Tuple[int, int], Tuple[list, list]] = {}
+        for li, (ui, mi, si) in enumerate(lane_map):
+            st, total = _states_from_arrays(*arrays, li, len(lane_seqs[li]))
+            key = (ui, mi)
+            if key not in pristine:
+                pristine[key] = ([None, None], [0, 0])
+            pristine[key][0][si] = st
+            pristine[key][1][si] = total
+
+        # 2. extension fixpoint: run extend_and_filter per mate against a
+        # cache of single-search results; batch the misses and retry
+        cache: Dict[Tuple[int, int, int, int], PartialHit] = {}
+        final_states: Dict[Tuple[int, int], List[StrandState]] = {}
+        todo = list(pristine.keys())
+        for _round in range(64):
+            misses: List[Tuple[int, int, int, int]] = []
+            still: List[Tuple[int, int]] = []
+            for key in todo:
+                ui, mi = key
+                states = copy.deepcopy(pristine[key][0])
+                sums = pristine[key][1]
+                seqs = units[ui][mi]
+
+                local_miss: List[Tuple[int, int, int, int]] = []
+
+                def do_search(si, off, _ui=ui, _mi=mi):
+                    k = (_ui, _mi, si, off)
+                    if k in cache:
+                        return cache[k]
+                    local_miss.append(k)
+                    raise _Pending
+
+                try:
+                    extend_and_filter(do_search, len(seqs[0]), states, sums,
+                                      cfg.min_hitlen, cls.ihits)
+                    final_states[key] = states
+                except _Pending:
+                    misses.extend(local_miss)
+                    still.append(key)
+            if not misses:
+                break
+            mseqs = [units[ui][mi][si] for (ui, mi, si, off) in misses]
+            moffs = np.array([off for (_, _, _, off) in misses], dtype=np.int32)
+            mh = self.engine.search_first_hits(mseqs, moffs)
+            for i, k in enumerate(misses):
+                t = int(mh[0][i, 0])
+                b = int(mh[1][i, 0])
+                cache[k] = PartialHit(
+                    OFF_MASK if t < 0 else t, OFF_MASK if b < 0 else b,
+                    int(mh[2][i, 0]), int(mh[3][i, 0]))
+            todo = still
+        else:
+            raise RuntimeError("extension fixpoint did not converge")
+
+        # 3. pass A: record resolution requests per unit
+        requests: List[Tuple[int, int]] = []  # (top, nelt)
+
+        def make_recorder():
+            def rec(top, bot, nelt):
+                requests.append((top, nelt))
+                return list(range(nelt))  # dummy values, never reported
+            return rec
+
+        unit_mates = {}
+        for ui, (unit, ok) in enumerate(zip(units, active)):
+            if not ok:
+                continue
+            mates = unit
+            mstates = [final_states[(ui, mi)] for mi in range(len(unit))]
+            unit_mates[ui] = (mates, mstates)
+            is_paired = paired if paired is not None else paired_flags[ui]
+            cls.classify_with_states(mates, mstates, is_paired, make_recorder())
+
+        # batched resolve of all requested SA elements
+        values: List[List[int]] = []
+        if requests:
+            rows = np.concatenate([
+                np.arange(top, top + nelt, dtype=np.int64)
+                for top, nelt in requests]).astype(np.int32)
+            tidx = np.asarray(self.resolver(rows))
+            pos = 0
+            for top, nelt in requests:
+                values.append([int(v) for v in tidx[pos:pos + nelt]])
+                pos += nelt
+
+        # 4. pass B: consume values
+        out = [[] for _ in units]
+        cursor = [0]
+
+        def make_consumer():
+            def con(top, bot, nelt):
+                v = values[cursor[0]]
+                cursor[0] += 1
+                return v
+            return con
+
+        for ui in sorted(unit_mates.keys()):
+            mates, mstates = unit_mates[ui]
+            # states were mutated by pass A?  classify_with_states does not
+            # mutate StrandStates, so reuse is safe
+            is_paired = paired if paired is not None else paired_flags[ui]
+            out[ui] = cls.classify_with_states(mates, mstates, is_paired,
+                                               make_consumer())
+        return out

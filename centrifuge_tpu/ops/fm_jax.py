@@ -1,0 +1,200 @@
+"""JAX device FM-index: batched rank/LF/ftab/resolve over a repacked BWT.
+
+TPU-first layout: the BWT is repacked into fixed blocks of 512 bases;
+each block row holds 4 occ checkpoints followed by 32 uint32 words
+(16 bases/word, little-endian 2-bit). One rank query = one row gather
+(144B) + vectorized 2-bit popcount, so a batched LF step for B lanes is
+two (B, 36) gathers and pure VPU math -- bandwidth-bound, which is the
+hardware ceiling for FM search.
+
+Counting trick: XOR the word with the char's repeated 2-bit pattern;
+bases equal to c become 00; AND the two bit-planes of the complement to
+get one marker bit per base; population_count finishes the job. This is
+the vector analog of the reference's countInU64 (bt2_idx.h:505-517).
+
+All row indexes are int32 (indexes up to 2^31-1 bases; larger indexes get
+a 2-word path in a later revision).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.cf_io import CFIndex
+
+BLOCK_BASES = 512
+WORDS_PER_BLOCK = BLOCK_BASES // 16
+ROW_I32 = 4 + WORDS_PER_BLOCK  # occ[4] + words[32]
+
+# char -> repeated 2-bit pattern (uint32)
+_CHAR_PATTERNS = np.array(
+    [0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF], dtype=np.uint32)
+
+
+@dataclass
+class DeviceFMIndex:
+    """Device-resident arrays for the FM search kernels."""
+
+    blocks: jax.Array      # uint32[nblk, 36]: occ[4] then 32 bwt words
+    fchr: jax.Array        # int32[5]
+    ftab_top: jax.Array    # int32[4^ftabChars]
+    ftab_bot: jax.Array    # int32[4^ftabChars]
+    offs: jax.Array        # int32[offsLen] SA-sample sequence indexes
+    boundary_rows: jax.Array    # int32[nb] sorted
+    boundary_refs: jax.Array    # int32[nb]
+    zoff: int
+    bwt_len: int
+    ftab_chars: int
+    offrate: int
+    npat: int
+
+    @staticmethod
+    def build(idx: CFIndex, device=None) -> "DeviceFMIndex":
+        if idx.bwt_len >= (1 << 31):
+            raise NotImplementedError("indexes >= 2^31 bases need the wide path")
+        bwt = idx.bwt
+        n = bwt.shape[0]
+        nblk = n // BLOCK_BASES + 1
+        padded = np.zeros(nblk * BLOCK_BASES, dtype=np.uint8)
+        padded[:n] = bwt
+        # pack 16 bases/word
+        b = padded.reshape(-1, 16).astype(np.uint32)
+        words = np.zeros(b.shape[0], dtype=np.uint32)
+        for i in range(16):
+            words |= b[:, i] << (2 * i)
+        words = words.reshape(nblk, WORDS_PER_BLOCK)
+        # occ checkpoints: raw counts before each block ('$' counted as the
+        # code-0 'A' it is stored as; the rank kernel subtracts it once)
+        blocks_codes = padded.reshape(nblk, BLOCK_BASES)
+        occ = np.zeros((nblk, 4), dtype=np.uint32)
+        for c in range(4):
+            cnt = (blocks_codes == c).sum(axis=1).astype(np.uint64)
+            occ[1:, c] = np.cumsum(cnt)[:-1]
+        rows = np.concatenate([occ, words], axis=1)
+
+        put = functools.partial(jax.device_put, device=device)
+        return DeviceFMIndex(
+            blocks=put(rows),
+            fchr=put(idx.fchr.astype(np.int32)),
+            ftab_top=put(idx.ftab_top.astype(np.int32)),
+            ftab_bot=put(idx.ftab_bot.astype(np.int32)),
+            offs=put(idx.offs.astype(np.int32)),
+            boundary_rows=put(idx.boundary_rows.astype(np.int32)),
+            boundary_refs=put(idx.boundary_refidx.astype(np.int32)),
+            zoff=int(idx.zoff),
+            bwt_len=int(idx.bwt_len),
+            ftab_chars=int(idx.ftab_chars),
+            offrate=int(idx.offrate),
+            npat=int(idx.npat),
+        )
+
+
+def _count_c_in_word(word: jax.Array, pattern: jax.Array, nvalid: jax.Array) -> jax.Array:
+    """Count char-matches among the first `nvalid` bases of each word."""
+    x = word ^ pattern
+    y = (~x) & ((~x) >> 1) & jnp.uint32(0x55555555)
+    # clip the shift to stay < 32 (shift-by-32 is undefined); the >=16 case
+    # selects the full mask anyway
+    shift = (2 * jnp.clip(nvalid, 0, 15)).astype(jnp.uint32)
+    mask = jnp.where(nvalid >= 16, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << shift) - 1)
+    return jax.lax.population_count(y & mask).astype(jnp.int32)
+
+
+def rank_kernel(blocks: jax.Array, zoff: jnp.int32, rows: jax.Array,
+                chars: jax.Array) -> jax.Array:
+    """Batched rank_c(row): occurrences of c in bwt[0:row], $ excluded.
+
+    rows: int32[B], chars: int32[B] in 0..3.
+    """
+    blk = rows >> 9
+    within = rows & 511
+    data = blocks[blk]                       # (B, 36) uint32
+    occ = data[:, :4]
+    words = data[:, 4:]                      # (B, 32)
+    pattern = jnp.asarray(_CHAR_PATTERNS)[chars][:, None]     # (B, 1)
+    widx = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)[None, :]
+    nvalid = jnp.clip(within[:, None] - widx * 16, 0, 16)
+    cnt = _count_c_in_word(words, pattern, nvalid).sum(axis=1)
+    base = occ[jnp.arange(rows.shape[0]), chars].astype(jnp.int32)
+    adj = ((chars == 0) & (zoff < rows)).astype(jnp.int32)
+    return base + cnt - adj
+
+
+def lf_kernel(blocks, fchr, zoff, rows, chars):
+    """Batched LF(row, c) = fchr[c] + rank_c(row)."""
+    return fchr[chars] + rank_kernel(blocks, zoff, rows, chars)
+
+
+def bwt_char_kernel(blocks: jax.Array, rows: jax.Array) -> jax.Array:
+    """Batched BWT[row] (the '$' row reads as code 0, as stored)."""
+    blk = rows >> 9
+    within = rows & 511
+    data = blocks[blk]
+    word = data[jnp.arange(rows.shape[0]), 4 + (within >> 4)]
+    return ((word >> (2 * (within & 15).astype(jnp.uint32))) & 3).astype(jnp.int32)
+
+
+def lf_step_with_char(blocks, fchr, zoff, rows):
+    """One left-walk step: LF(row, BWT[row]); used by SA resolution."""
+    c = bwt_char_kernel(blocks, rows)
+    return lf_kernel(blocks, fchr, zoff, rows, c)
+
+
+def make_resolver(fm: DeviceFMIndex, max_steps: int = 4096):
+    """Batched SA-row -> sequence-index resolver.
+
+    Walks LF until each row hits the '$' row, a sampled row, or a
+    genome-boundary row (tryOffset, bt2_idx.h:1980-2014 + the GroupWalk
+    walk). Returns a jitted fn rows int32[M] -> tidx int32[M].
+    """
+    sample_mask = (1 << fm.offrate) - 1
+    has_bounds = fm.boundary_rows.shape[0] > 0
+    narrow = fm.npat <= 0xFFFF
+
+    def try_offset(rows):
+        tidx = jnp.full_like(rows, -1)
+        sampled = (rows & sample_mask) == 0
+        sval = fm.offs[jnp.clip(rows >> fm.offrate, 0, fm.offs.shape[0] - 1)]
+        tidx = jnp.where(sampled, sval, tidx)
+        if has_bounds:
+            pos = jnp.searchsorted(fm.boundary_rows, rows)
+            posc = jnp.clip(pos, 0, fm.boundary_rows.shape[0] - 1)
+            is_b = (fm.boundary_rows[posc] == rows) & ~sampled
+            bval = fm.boundary_refs[posc]
+            if narrow:
+                bval = bval & 0xFFFF
+            # the check is gated on a nonzero max boundary row
+            # (bt2_idx.h:2001-2010)
+            last = fm.boundary_rows[-1]
+            is_b = is_b & (last > 0) & (rows <= last)
+            tidx = jnp.where(is_b, bval, tidx)
+        tidx = jnp.where(rows == fm.zoff, 0, tidx)
+        return tidx
+
+    def resolve(rows):
+        def cond(state):
+            rows, tidx, it = state
+            return (tidx < 0).any() & (it < max_steps)
+
+        def body(state):
+            rows, tidx, it = state
+            unresolved = tidx < 0
+            step_rows = jnp.where(unresolved, rows, 0)
+            nxt = lf_step_with_char(fm.blocks, fm.fchr, fm.zoff, step_rows)
+            rows = jnp.where(unresolved, nxt, rows)
+            t2 = try_offset(rows)
+            tidx = jnp.where(unresolved, t2, tidx)
+            return rows, tidx, it + 1
+
+        tidx = try_offset(rows)
+        rows, tidx, _ = jax.lax.while_loop(cond, body, (rows, tidx, jnp.int32(0)))
+        return tidx
+
+    return jax.jit(resolve)
