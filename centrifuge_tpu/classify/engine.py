@@ -8,6 +8,11 @@ one `lax.while_loop` iteration performs, per lane, either a search start
 traffic is batched gathers into the block-packed BWT (ops/fm_jax.py), so
 the machine is HBM-bandwidth-bound, which is the design target for TPU.
 
+The loop body is parameterized over a small kernel namespace (`FMKernels`)
+so the same policy code drives both the single-chip path (direct gathers)
+and the BWT-range-sharded multi-chip path (masked local gathers + psum
+over the index axis; parallel/sharded.py).
+
 Hits are written into fixed-size per-lane buffers; the host converts them
 into the same PartialHit lists the oracle produces, and the remaining
 (cheap, irregular) per-read logic is shared host code (classify/algo.py).
@@ -17,7 +22,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import List, Tuple
+from typing import Callable, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +31,23 @@ import numpy as np
 from ..ops.fm_jax import (DeviceFMIndex, bwt_char_kernel, lf_kernel)
 
 NEG = jnp.int32(-1)
+
+
+@dataclass
+class FMKernels:
+    """The four device primitives the search loop needs.
+
+    ftab_lookup: int32[B] packed-window ids -> (top[B], bot[B])
+    lf:          (rows[B], chars[B]) -> LF(row, c)
+    bwt_char:    rows[B] -> BWT[row] code
+    zoff:        the '$' row (traced scalar ok)
+    """
+
+    ftab_lookup: Callable
+    lf: Callable
+    bwt_char: Callable
+    zoff: jnp.ndarray
+    num_ftab: int
 
 
 def _precompute_windows(rseq: jax.Array, ftab_chars: int):
@@ -47,13 +69,10 @@ def _precompute_windows(rseq: jax.Array, ftab_chars: int):
     return fi, first_n
 
 
-@functools.partial(jax.jit, static_argnames=("min_hitlen", "increment",
-                                             "max_hits", "first_hit_only"))
-def batched_search(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff,
-                   rseq, lengths, start_cur,
-                   min_hitlen: int, increment: int, max_hits: int,
-                   first_hit_only: bool):
-    """Run the full per-strand scan for every lane.
+def search_loop(kern: FMKernels, rseq, lengths, start_cur,
+                min_hitlen: int, increment: int, max_hits: int,
+                first_hit_only: bool):
+    """Run the full per-strand greedy scan for every lane.
 
     rseq: (L, Lmax + fc) int32 reversed+padded reads.
     lengths: (L,) int32; start_cur: (L,) int32 initial cursors.
@@ -62,7 +81,6 @@ def batched_search(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff,
     """
     fc = 10  # ftab_chars; geometry fixed by the index format default
     L = rseq.shape[0]
-    lmax = rseq.shape[1] - fc
     fi_tab, firstn_tab = _precompute_windows(rseq, fc)
     lanes = jnp.arange(L, dtype=jnp.int32)
 
@@ -100,9 +118,8 @@ def batched_search(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff,
         case_a = starting & (left < fc)
         fN = gather_pos(firstn_tab, cur)
         case_b = starting & ~case_a & (fN < fc)
-        fi = jnp.clip(gather_pos(fi_tab, cur), 0, fm_ftab_top.shape[0] - 1)
-        ftop = fm_ftab_top[fi]
-        fbot = fm_ftab_bot[fi]
+        fi = jnp.clip(gather_pos(fi_tab, cur), 0, kern.num_ftab - 1)
+        ftop, fbot = kern.ftab_lookup(fi)
         case_c_empty = starting & ~case_a & ~case_b & (fbot <= ftop)
         case_c_go = starting & ~case_a & ~case_b & (fbot > ftop)
 
@@ -118,14 +135,13 @@ def batched_search(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff,
         cq = jnp.clip(c, 0, 3)
         rows_t = jnp.where(stepping, top, 0)
         rows_b = jnp.where(stepping, bot, 0)
-        t2 = lf_kernel(fm_blocks, fm_fchr, zoff, rows_t, cq)
-        topchar = bwt_char_kernel(fm_blocks, rows_t)
+        t2 = kern.lf(rows_t, cq)
+        topchar = kern.bwt_char(rows_t)
         single = (bot - top) == 1
-        b2 = jnp.where(single, t2 + 1,
-                       lf_kernel(fm_blocks, fm_fchr, zoff, rows_b, cq))
+        b2 = jnp.where(single, t2 + 1, kern.lf(rows_b, cq))
         fail = stepping & (
             (c > 3)
-            | (single & ((topchar != cq) | (top == zoff)))
+            | (single & ((topchar != cq) | (top == kern.zoff)))
             | (b2 <= t2))
         advance = stepping & ~fail
         ext_emit = at_end | fail
@@ -177,6 +193,29 @@ def batched_search(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff,
     out = jax.lax.while_loop(cond, body, state)
     return (out["h_top"], out["h_bot"], out["h_off"], out["h_len"],
             out["nhits"], out["sums"])
+
+
+def direct_kernels(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff) -> FMKernels:
+    """Single-device kernel set: plain gathers into replicated arrays."""
+    return FMKernels(
+        ftab_lookup=lambda fi: (fm_ftab_top[fi], fm_ftab_bot[fi]),
+        lf=lambda rows, chars: lf_kernel(fm_blocks, fm_fchr, zoff, rows, chars),
+        bwt_char=lambda rows: bwt_char_kernel(fm_blocks, rows),
+        zoff=zoff,
+        num_ftab=fm_ftab_top.shape[0],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("min_hitlen", "increment",
+                                             "max_hits", "first_hit_only"))
+def batched_search(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff,
+                   rseq, lengths, start_cur,
+                   min_hitlen: int, increment: int, max_hits: int,
+                   first_hit_only: bool):
+    """Single-chip full scan over all lanes (see search_loop)."""
+    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff)
+    return search_loop(kern, rseq, lengths, start_cur, min_hitlen,
+                       increment, max_hits, first_hit_only)
 
 
 class BatchSearchEngine:

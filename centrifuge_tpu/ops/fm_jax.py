@@ -107,15 +107,14 @@ def _count_c_in_word(word: jax.Array, pattern: jax.Array, nvalid: jax.Array) -> 
     return jax.lax.population_count(y & mask).astype(jnp.int32)
 
 
-def rank_kernel(blocks: jax.Array, zoff: jnp.int32, rows: jax.Array,
-                chars: jax.Array) -> jax.Array:
-    """Batched rank_c(row): occurrences of c in bwt[0:row], $ excluded.
+def rank_in_block(data: jax.Array, within: jax.Array, chars: jax.Array,
+                  zoff: jnp.int32, rows: jax.Array) -> jax.Array:
+    """rank_c(row) given the gathered block rows `data` (B, 36).
 
-    rows: int32[B], chars: int32[B] in 0..3.
+    `within` = row & 511. Shared by the replicated-index path (rank_kernel)
+    and the BWT-range-sharded path (parallel/sharded.py), which gathers
+    `data` from its local block slice before calling this.
     """
-    blk = rows >> 9
-    within = rows & 511
-    data = blocks[blk]                       # (B, 36) uint32
     occ = data[:, :4]
     words = data[:, 4:]                      # (B, 32)
     pattern = jnp.asarray(_CHAR_PATTERNS)[chars][:, None]     # (B, 1)
@@ -125,6 +124,18 @@ def rank_kernel(blocks: jax.Array, zoff: jnp.int32, rows: jax.Array,
     base = occ[jnp.arange(rows.shape[0]), chars].astype(jnp.int32)
     adj = ((chars == 0) & (zoff < rows)).astype(jnp.int32)
     return base + cnt - adj
+
+
+def rank_kernel(blocks: jax.Array, zoff: jnp.int32, rows: jax.Array,
+                chars: jax.Array) -> jax.Array:
+    """Batched rank_c(row): occurrences of c in bwt[0:row], $ excluded.
+
+    rows: int32[B], chars: int32[B] in 0..3.
+    """
+    blk = rows >> 9
+    within = rows & 511
+    data = blocks[blk]                       # (B, 36) uint32
+    return rank_in_block(data, within, chars, zoff, rows)
 
 
 def lf_kernel(blocks, fchr, zoff, rows, chars):

@@ -2,12 +2,18 @@ import os
 import sys
 
 # Multi-chip sharding tests run on a virtual 8-device CPU mesh; the bench
-# path (bench.py) sets its own platform outside pytest.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    (os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip(),
-)
+# path (bench.py) runs on the real chip outside pytest. A pytest plugin
+# imports jax before this conftest runs and the ambient JAX_PLATFORMS pins
+# the tpu tunnel, so env vars alone are too late -- force the platform via
+# jax.config before any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
