@@ -1,0 +1,40 @@
+"""Index builder driver: FASTA + taxonomy -> basename.{1,2,3,4}.cf.
+
+The TPU-native equivalent of centrifuge-build (centrifuge_build.cpp:554,
+driver at 399-545): scan references, build the suffix array (native
+SA-IS), emit the FM index + taxonomy payload byte-identically to the
+reference writer.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+from .ref_read import scan_fastas
+from .sa import suffix_array
+from .writer import write_index
+
+
+def build_index(fasta_paths: List[str], basename: str,
+                conversion_table: str, taxonomy_tree: str,
+                name_table: str = "", size_table: str = "",
+                offrate: int = 4, ftab_chars: int = 10,
+                line_rate: int = 7, verbose: bool = False) -> None:
+    t0 = time.time()
+    codes, szs, refnames, plen = scan_fastas(fasta_paths)
+    if verbose:
+        print(f"  scanned {len(refnames)} sequences, "
+              f"{codes.shape[0]} bases ({time.time()-t0:.1f}s)")
+    if codes.shape[0] == 0:
+        raise ValueError("no DNA sequence found in input")
+    t0 = time.time()
+    sa = suffix_array(codes)
+    if verbose:
+        print(f"  suffix array built ({time.time()-t0:.1f}s)")
+    t0 = time.time()
+    write_index(basename, codes, sa, szs, refnames, plen,
+                conversion_table, taxonomy_tree, name_table, size_table,
+                offrate, ftab_chars, line_rate)
+    if verbose:
+        print(f"  index written ({time.time()-t0:.1f}s)")

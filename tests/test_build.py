@@ -1,0 +1,91 @@
+"""Index builder parity: rebuild the fixture indexes byte-for-byte.
+
+The fixtures' .cf files were produced by the reference centrifuge-build
+binary; our builder (FASTA scan -> native SA-IS -> vectorized BWT/ftab
+emission) must reproduce every byte, including the ftab/eftab absorb
+encoding, the +11bp SA-sample attribution, and the .4.cf boundary map.
+"""
+
+import filecmp
+import os
+
+import numpy as np
+import pytest
+
+from centrifuge_tpu.build.builder import build_index
+from centrifuge_tpu.build.ref_read import get_tid, get_uid, scan_fastas
+from centrifuge_tpu.build.sa import (suffix_array, suffix_array_doubling)
+
+from conftest import fixture_path
+
+
+@pytest.mark.parametrize("fixture,fasta,conv", [
+    ("synth", "db.fa", "conv.dmp"),
+    ("example", "test.fa", "gi_to_tid.dmp"),
+])
+def test_build_byte_parity(tmp_path, fixture, fasta, conv):
+    fx = fixture_path(fixture)
+    base = str(tmp_path / "idx")
+    name = "synth" if fixture == "synth" else "test"
+    build_index([os.path.join(fx, fasta)], base,
+                os.path.join(fx, conv), os.path.join(fx, "nodes.dmp"),
+                os.path.join(fx, "names.dmp"))
+    for ext in ("1", "2", "3", "4"):
+        ours = f"{base}.{ext}.cf"
+        ref = os.path.join(fx, f"{name}.{ext}.cf")
+        assert filecmp.cmp(ours, ref, shallow=False), f".{ext}.cf differs"
+
+
+def test_sa_native_matches_doubling():
+    rng = np.random.default_rng(123)
+    for _ in range(10):
+        n = int(rng.integers(1, 4000))
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        np.testing.assert_array_equal(
+            suffix_array(codes), suffix_array_doubling(codes))
+    # degenerate repetitive texts stress SA-IS recursion
+    for codes in (np.zeros(500, np.uint8),
+                  np.tile([0, 1], 300).astype(np.uint8),
+                  np.tile([3, 2, 3], 101).astype(np.uint8)):
+        np.testing.assert_array_equal(
+            suffix_array(codes), suffix_array_doubling(codes))
+
+
+def test_uid_tid_parsing():
+    assert get_uid("seq0 synthetic genome") == "seq0"
+    assert get_uid("gi|4|emb|X17276.1| Giant Panda") == "gi|4"
+    assert get_uid("plain") == "plain"
+    assert get_tid("1234") == 1234
+    assert get_tid("12.7") == 12 | (7 << 32)
+
+
+def test_scan_fasta_gaps(tmp_path):
+    fa = tmp_path / "g.fa"
+    fa.write_text(">s1 one\nACGTNNNNACGT\n>s2 two\nNNACGT\n>s3\nACGTNN\n")
+    codes, szs, refnames, plen = scan_fastas([str(fa)])
+    assert refnames == ["s1 one", "s2 two", "s3"]
+    assert plen == [12, 6, 6]
+    recs = [(r.off, r.length, r.first) for r in szs]
+    assert recs == [(0, 4, True), (4, 4, False),   # s1: gap splits
+                    (2, 4, True),                  # s2: leading Ns
+                    (0, 4, True)]                  # s3: trailing Ns dropped
+    assert codes.shape[0] == 16
+
+
+def test_built_index_classifies(tmp_path):
+    """End-to-end: build an index from scratch and classify against it."""
+    from centrifuge_tpu.index.cf_io import load_cf_index
+    from centrifuge_tpu.classify.tpu_pipeline import TPUClassificationPipeline
+    from centrifuge_tpu.io.fastx import read_batch
+
+    fx = fixture_path("synth")
+    base = str(tmp_path / "rebuilt")
+    build_index([os.path.join(fx, "db.fa")], base,
+                os.path.join(fx, "conv.dmp"), os.path.join(fx, "nodes.dmp"),
+                os.path.join(fx, "names.dmp"))
+    idx = load_cf_index(base)
+    reads = read_batch([os.path.join(fx, "reads.fq")], limit=100)
+    pipe = TPUClassificationPipeline(idx)
+    rows = [pipe.formatter.header()] + pipe.classify_batch_unpaired(reads)
+    golden = open(os.path.join(fx, "golden_output.tsv")).read().splitlines()
+    assert rows == golden[: len(rows)]
