@@ -1,0 +1,256 @@
+"""`centrifuge` classification CLI.
+
+Mirrors the reference driver's surface (option table centrifuge.cpp:530-745,
+parse switch 959-1494, driver loop 2342-3330) on top of the TPU batch
+pipeline. Reads stream through the device engine in large batches; rows are
+emitted in input order (the reference's OutputQueue reorder semantics hold
+by construction because batches are processed in order on the host).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="centrifuge", add_help=True, allow_abbrev=False,
+        description="Centrifuge-TPU: metagenomic classifier (TPU-native)")
+    p.add_argument("-x", dest="index", required=True, metavar="<cf-idx>",
+                   help="Index filename prefix (minus .X.cf)")
+    p.add_argument("-U", dest="unpaired", metavar="<r>",
+                   help="Comma-separated unpaired read files")
+    p.add_argument("-1", dest="mates1", metavar="<m1>",
+                   help="Comma-separated mate-1 files")
+    p.add_argument("-2", dest="mates2", metavar="<m2>",
+                   help="Comma-separated mate-2 files")
+    p.add_argument("-S", dest="output", default="-", metavar="<filename>",
+                   help="Classification output file (default: stdout)")
+    p.add_argument("--report-file", default="centrifuge_report.tsv",
+                   metavar="<filename>", help="Species report file")
+    p.add_argument("-k", dest="khits", type=int, default=5, metavar="<int>",
+                   help="Report up to <int> distinct assignments per read")
+    p.add_argument("--min-hitlen", type=int, default=22, metavar="<int>",
+                   help="Minimum length of partial hits (>=16, default 22)")
+    p.add_argument("--min-totallen", type=int, default=0, metavar="<int>")
+    p.add_argument("--host-taxids", default="", metavar="<taxids>",
+                   help="Comma-separated host taxonomy IDs (preferred)")
+    p.add_argument("--exclude-taxids", default="", metavar="<taxids>",
+                   help="Comma-separated taxonomy IDs to exclude")
+    p.add_argument("--no-traverse", action="store_true",
+                   help="Do not traverse up the tree to reduce assignments")
+    p.add_argument("--classification-rank", default="strain",
+                   metavar="<rank>")
+    p.add_argument("--tab-fmt-cols", metavar="<cols>", default=None,
+                   help="Columns in the tabular output")
+    p.add_argument("--out-fmt", default="tab", choices=["tab", "sam"],
+                   help="Output format")
+    p.add_argument("--no-abundance", action="store_true",
+                   help="Skip abundance (EM) estimation in the report")
+    p.add_argument("-q", dest="fastq", action="store_true",
+                   help="Inputs are FASTQ (default; auto-detected)")
+    p.add_argument("-f", dest="fasta", action="store_true",
+                   help="Inputs are FASTA (auto-detected)")
+    p.add_argument("-c", dest="cmdline", action="store_true",
+                   help="Read sequences are given on the command line")
+    p.add_argument("-u", "--upto", dest="upto", type=int, default=0,
+                   metavar="<int>", help="Stop after the first <int> reads")
+    p.add_argument("-s", "--skip", dest="skip", type=int, default=0,
+                   metavar="<int>", help="Skip the first <int> reads")
+    p.add_argument("-5", "--trim5", dest="trim5", type=int, default=0,
+                   metavar="<int>", help="Trim <int> bases from 5' end")
+    p.add_argument("-3", "--trim3", dest="trim3", type=int, default=0,
+                   metavar="<int>", help="Trim <int> bases from 3' end")
+    p.add_argument("-p", "--threads", dest="threads", type=int, default=1,
+                   metavar="<int>", help="Accepted for compatibility; the "
+                   "device engine is batch-parallel")
+    p.add_argument("--batch-size", type=int, default=2048, metavar="<int>",
+                   help="Reads per device batch")
+    p.add_argument("--seed", type=int, default=0, metavar="<int>")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("-t", "--time", dest="timing", action="store_true")
+    p.add_argument("--mm", action="store_true",
+                   help="Accepted for compatibility (index always shared)")
+    p.add_argument("--shmem", action="store_true",
+                   help="Accepted for compatibility")
+    p.add_argument("--reorder", action="store_true",
+                   help="Accepted for compatibility (output always ordered)")
+    p.add_argument("--engine", default="tpu", choices=["tpu", "oracle"],
+                   help="Device batch engine (tpu) or numpy oracle")
+    p.add_argument("--version", action="store_true")
+    p.add_argument("reads", nargs="*", help="Positional read files "
+                   "(same as -U) for wrapper compatibility")
+    return p
+
+
+def _split(arg: Optional[str]) -> List[str]:
+    return [a for a in (arg or "").split(",") if a]
+
+
+def _parse_taxids(arg: str) -> Tuple[int, ...]:
+    return tuple(int(t) for t in arg.split(",") if t)
+
+
+def _trim(rec, trim5: int, trim3: int):
+    if trim5 == 0 and trim3 == 0:
+        return rec
+    from ..io.fastx import ReadRec
+    n = len(rec.seq)
+    lo = min(trim5, n)
+    hi = max(lo, n - trim3)
+    return ReadRec(rec.name, rec.seq[lo:hi], rec.qual[lo:hi])
+
+
+def run(argv: List[str]) -> int:
+    args = make_parser().parse_args(argv)
+    if args.version:
+        from .. import __version__
+        print(f"centrifuge-class (centrifuge-tpu) version {__version__}")
+        return 0
+
+    from ..classify.algo import ClassifierConfig
+    from ..classify.pipeline import (DEFAULT_COLUMNS, ClassificationPipeline,
+                                     PipelineConfig)
+    from ..index.cf_io import load_cf_index
+    from ..io.fastx import read_fastx
+    from ..report.writers import write_report
+
+    t_start = time.time()
+    idx = load_cf_index(args.index)
+
+    columns = list(DEFAULT_COLUMNS)
+    if args.tab_fmt_cols:
+        columns = [c for c in args.tab_fmt_cols.split(",") if c]
+    cls_cfg = ClassifierConfig(
+        khits=args.khits,
+        min_hitlen=max(args.min_hitlen, 16),
+        tree_traverse=not args.no_traverse,
+        classification_rank=args.classification_rank,
+        host_taxids=_parse_taxids(args.host_taxids),
+        exclude_taxids=_parse_taxids(args.exclude_taxids),
+    )
+    cfg = PipelineConfig(classifier=cls_cfg, seed=args.seed, columns=columns)
+
+    if args.engine == "tpu":
+        from ..classify.tpu_pipeline import TPUClassificationPipeline
+        pipe = TPUClassificationPipeline(idx, cfg)
+    else:
+        from ..ops.fm_numpy import FMOracle
+        pipe = ClassificationPipeline(idx, FMOracle(idx), cfg)
+
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    out.write(pipe.formatter.header() + "\n")
+
+    unpaired = _split(args.unpaired) + list(args.reads)
+    m1 = _split(args.mates1)
+    m2 = _split(args.mates2)
+    if not unpaired and not m1:
+        print("Error: must specify -U, -1/-2, or positional read files",
+              file=sys.stderr)
+        return 1
+    if len(m1) != len(m2):
+        print("Error: -1 and -2 must have the same number of files",
+              file=sys.stderr)
+        return 1
+
+    skip = args.skip
+    budget = args.upto if args.upto > 0 else None
+    nread = 0
+
+    def batches(it, size):
+        buf = []
+        for x in it:
+            buf.append(x)
+            if len(buf) >= size:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    def reads_iter(paths):
+        nonlocal skip, nread
+        for path in paths:
+            for rec in read_fastx(path):
+                if skip > 0:
+                    skip -= 1
+                    continue
+                if budget is not None and nread >= budget:
+                    return
+                nread += 1
+                yield _trim(rec, args.trim5, args.trim3)
+
+    def pairs_iter(p1, p2):
+        nonlocal skip, nread
+        for f1, f2 in zip(p1, p2):
+            it1, it2 = read_fastx(f1), read_fastx(f2)
+            for r1 in it1:
+                r2 = next(it2, None)
+                if r2 is None:
+                    break
+                if skip > 0:
+                    skip -= 1
+                    continue
+                if budget is not None and nread >= budget:
+                    return
+                nread += 1
+                yield (_trim(r1, args.trim5, args.trim3),
+                       _trim(r2, args.trim5, args.trim3))
+
+    if args.cmdline:
+        # -c: sequences are on the command line, one read per token
+        from ..io.fastx import CODE_LUT, ReadRec
+        recs = [ReadRec(str(i).encode(),
+                        CODE_LUT[np.frombuffer(s.encode(), np.uint8)],
+                        b"I" * len(s))
+                for i, s in enumerate(unpaired)]
+        unpaired_src = iter(recs)
+    else:
+        unpaired_src = reads_iter(unpaired) if unpaired else iter(())
+
+    if args.engine == "tpu":
+        for batch in batches(unpaired_src, args.batch_size):
+            for row in pipe.classify_batch_unpaired(batch):
+                out.write(row + "\n")
+        if m1:
+            for batch in batches(pairs_iter(m1, m2), args.batch_size):
+                for row in pipe.classify_batch_paired(batch):
+                    out.write(row + "\n")
+    else:
+        for rec in unpaired_src:
+            for row in pipe.classify_unpaired(rec):
+                out.write(row + "\n")
+        if m1:
+            for r1, r2 in pairs_iter(m1, m2):
+                for row in pipe.classify_paired(r1, r2):
+                    out.write(row + "\n")
+
+    if out is not sys.stdout:
+        out.close()
+
+    if args.report_file:
+        print(f"report file {args.report_file}", file=sys.stderr)
+        t0 = time.time()
+        write_report(args.report_file, idx, pipe.spm,
+                     abundance_analysis=not args.no_abundance,
+                     verbose_stderr=True)
+        if not args.no_abundance:
+            el = time.time() - t0
+            hh, rem = divmod(int(el), 3600)
+            mm, ss = divmod(rem, 60)
+            print(f"Calculating abundance: {hh:02d}:{mm:02d}:{ss:02d}",
+                  file=sys.stderr)
+
+    if args.timing:
+        el = time.time() - t_start
+        print(f"Overall time: {el:.2f}s ({nread} reads, "
+              f"{nread/max(el,1e-9):.0f} reads/s)", file=sys.stderr)
+    return 0
+
+
+def main() -> None:
+    sys.exit(run(sys.argv[1:]))

@@ -59,12 +59,15 @@ def _em_step(observed_items, ancestors, tid_to_num, p, lens):
 
 
 def calculate_abundance(tax: Taxonomy,
-                        observed: Dict[Tuple[int, ...], int]
+                        observed: Dict[Tuple[int, ...], int],
+                        stats: dict = None
                         ) -> Tuple[Dict[int, float], Dict[int, float]]:
     """Returns (abundance, abundance_len) keyed by taxID.
 
     abundance_len is the genome-length-normalized probability (the value
     the report file prints); abundance re-weights by genome length.
+    If `stats` is given, records num_iteration and last diff the way the
+    reference logs them to stderr (aln_sink.h:471-472).
     """
     tree = tax.tree
     # observed classes in map order: (size, lexicographic ids)
@@ -125,7 +128,9 @@ def calculate_abundance(tax: Taxonomy,
         p[i] = (p[i] / lens[i]) / s
 
     # SQUAREM-accelerated fixed point (aln_sink.h:425-469)
-    for _ in range(10000):
+    num_iteration = 0
+    diff = 0.0
+    for _ in range(10001):
         p_next = _em_step(observed_items, ancestors, tid_to_num, p, lens)
         p_next2 = _em_step(observed_items, ancestors, tid_to_num, p_next, lens)
         ssr = 0.0
@@ -147,7 +152,13 @@ def calculate_abundance(tax: Taxonomy,
             diff += abs(p[i] - p_next[i])
         if diff < 1e-10:
             break  # note: p (pre-update) is the reported vector
+        num_iteration += 1
+        if num_iteration >= 10000:
+            break
         p = p_next
+    if stats is not None:
+        stats["num_iteration"] = num_iteration
+        stats["diff"] = diff
 
     abundance_len = {}
     abundance = {}

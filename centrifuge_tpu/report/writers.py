@@ -20,11 +20,20 @@ def fmt_double(x: float) -> str:
     return s
 
 
-def write_report(path: str, idx: CFIndex, spm, abundance_analysis: bool = True) -> None:
+def write_report(path: str, idx: CFIndex, spm, abundance_analysis: bool = True,
+                 verbose_stderr: bool = False) -> None:
     """Write centrifuge_report.tsv (centrifuge.cpp:3230-3318)."""
     abundance_len: Dict[int, float] = {}
     if abundance_analysis:
-        _, abundance_len = calculate_abundance(idx.taxonomy, spm.observed)
+        stats: Dict[str, float] = {}
+        _, abundance_len = calculate_abundance(idx.taxonomy, spm.observed,
+                                               stats=stats)
+        if verbose_stderr:
+            import sys
+            print("Number of iterations in EM algorithm: "
+                  f"{stats.get('num_iteration', 0)}", file=sys.stderr)
+            print("Probability diff. (P - P_prev) in the last iteration: "
+                  f"{stats.get('diff', 0.0):.6g}", file=sys.stderr)
     tax = idx.taxonomy
     with open(path, "w") as f:
         f.write("name\ttaxID\ttaxRank\tgenomeSize\tnumReads\tnumUniqueReads\tabundance\n")

@@ -1,0 +1,162 @@
+"""CLI end-to-end parity: drive the command surfaces against goldens."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from conftest import FIXTURES, fixture_path
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+
+
+def run_cli(args, input_text=None):
+    # jax.config platform override for subprocesses: tests always force cpu
+    cmd = [sys.executable, "-c",
+           "import jax; jax.config.update('jax_platforms','cpu');"
+           "import sys; sys.argv[0]='centrifuge';"
+           "from centrifuge_tpu.cli import classify, build_cli, inspect_cli,"
+           " kreport_cli, promote_cli;"
+           "tool=sys.argv[1];"
+           "mod={'classify':classify,'build':build_cli,'inspect':inspect_cli,"
+           "'kreport':kreport_cli,'promote':promote_cli}[tool];"
+           "sys.exit(mod.run(sys.argv[2:]))"] + args
+    return subprocess.run(cmd, capture_output=True, text=True, env=ENV,
+                          input=input_text, cwd=REPO, timeout=600)
+
+
+@pytest.mark.parametrize("engine", ["tpu"])
+def test_classify_cli_parity(tmp_path, engine):
+    fx = fixture_path("synth")
+    out = tmp_path / "out.tsv"
+    report = tmp_path / "report.tsv"
+    r = run_cli(["classify",
+                 "-x", os.path.join(fx, "synth"),
+                 "-U", os.path.join(fx, "reads.fq"),
+                 "-S", str(out), "--report-file", str(report),
+                 "--engine", engine])
+    assert r.returncode == 0, r.stderr
+    golden = open(os.path.join(fx, "golden_output.tsv")).read()
+    assert out.read_text() == golden
+    golden_rep = open(os.path.join(fx, "golden_report.tsv")).read()
+    assert report.read_text() == golden_rep
+
+
+def test_classify_cli_paired(tmp_path):
+    fx = fixture_path("synth")
+    out = tmp_path / "out.tsv"
+    r = run_cli(["classify",
+                 "-x", os.path.join(fx, "synth"),
+                 "-1", os.path.join(fx, "reads_1.fq"),
+                 "-2", os.path.join(fx, "reads_2.fq"),
+                 "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    golden = open(os.path.join(fx, "golden_paired.tsv")).read()
+    assert out.read_text() == golden
+
+
+def test_classify_cli_upto_skip(tmp_path):
+    fx = fixture_path("synth")
+    out = tmp_path / "out.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-U", os.path.join(fx, "reads.fq"),
+                 "-S", str(out), "--report-file", "",
+                 "-s", "10", "-u", "5"])
+    assert r.returncode == 0, r.stderr
+    lines = out.read_text().splitlines()
+    assert len(lines) >= 6  # header + >= 5 reads (multi-matches may add rows)
+    golden = open(os.path.join(fx, "golden_output.tsv")).read().splitlines()
+    # rows for reads 10..14 must match the golden rows for those readIDs
+    got_ids = {l.split("\t")[0] for l in lines[1:]}
+    want_ids = set()
+    seen = set()
+    for l in golden[1:]:
+        rid = l.split("\t")[0]
+        seen.add(rid)
+    assert got_ids <= seen
+
+
+def test_kreport_cli_parity(tmp_path):
+    fx = fixture_path("synth")
+    golden_rows = open(os.path.join(fx, "golden_output.tsv")).read()
+    r = run_cli(["kreport", "-x", os.path.join(fx, "synth")],
+                input_text=golden_rows)
+    assert r.returncode == 0, r.stderr
+    golden_kr = open(os.path.join(fx, "golden_kreport.txt")).read()
+    assert r.stdout == golden_kr
+
+
+def test_inspect_cli(tmp_path):
+    fx = fixture_path("synth")
+    r = run_cli(["inspect", "-n", os.path.join(fx, "synth")])
+    assert r.returncode == 0, r.stderr
+    names = r.stdout.splitlines()
+    assert names[0] == "seq0 synthetic genome"
+    assert len(names) == 24
+
+    # FASTA reconstruction must round-trip the original db
+    r = run_cli(["inspect", os.path.join(fx, "synth")])
+    assert r.returncode == 0, r.stderr
+    # db.fa uses 70-char lines; normalize both sides
+    def normalize(txt):
+        seqs = {}
+        name = None
+        for line in txt.splitlines():
+            if line.startswith(">"):
+                name = line[1:]
+                seqs[name] = []
+            else:
+                seqs[name].append(line)
+        return {n: "".join(c) for n, c in seqs.items()}
+    got = normalize(r.stdout)
+    want = normalize(open(os.path.join(fx, "db.fa")).read())
+    assert got == want
+
+    # summary
+    r = run_cli(["inspect", "-s", os.path.join(fx, "synth")])
+    assert "SA-Sample\t1 in 16" in r.stdout
+    assert "FTab-Chars\t10" in r.stdout
+
+
+def test_inspect_taxonomy_dumps():
+    fx = fixture_path("synth")
+    r = run_cli(["inspect", "--conversion-table", os.path.join(fx, "synth")])
+    assert r.stdout.splitlines()[0] == "seq0\t1000"
+    r = run_cli(["inspect", "--taxonomy-tree", os.path.join(fx, "synth")])
+    assert "1\t|\t1\t|\tno rank" in r.stdout
+    r = run_cli(["inspect", "--name-table", os.path.join(fx, "synth")])
+    assert "1\troot" in r.stdout
+    r = run_cli(["inspect", "--size-table", os.path.join(fx, "synth")])
+    assert "1000\t40000" in r.stdout
+
+
+def test_build_cli(tmp_path):
+    fx = fixture_path("synth")
+    base = str(tmp_path / "cli_idx")
+    r = run_cli(["build", "--conversion-table", os.path.join(fx, "conv.dmp"),
+                 "--taxonomy-tree", os.path.join(fx, "nodes.dmp"),
+                 "--name-table", os.path.join(fx, "names.dmp"),
+                 "-q", os.path.join(fx, "db.fa"), base])
+    assert r.returncode == 0, r.stderr
+    import filecmp
+    for ext in ("1", "2", "3", "4"):
+        assert filecmp.cmp(f"{base}.{ext}.cf",
+                           os.path.join(fx, f"synth.{ext}.cf"),
+                           shallow=False)
+
+
+def test_promote_cli(tmp_path):
+    fx = fixture_path("synth")
+    golden_rows = open(os.path.join(fx, "golden_output.tsv")).read()
+    r = run_cli(["promote", os.path.join(fx, "synth"), "-", "genus"],
+                input_text=golden_rows)
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0].startswith("readID")
+    # every species taxID (1000+) must now be a genus (100..103) or
+    # unpromotable id
+    for line in lines[1:]:
+        tid = int(line.split("\t")[2])
+        assert tid < 1000 or tid == 0 or tid == 1 or tid >= 10
