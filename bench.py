@@ -31,11 +31,13 @@ def main():
 
     idx = load_cf_index(os.path.join(FIXDIR, "synth"))
     reads = read_batch([os.path.join(FIXDIR, "reads.fq")])
+
+    # warmup pass: triggers every jit compile at the production shapes
     pipe = TPUClassificationPipeline(idx)
+    pipe.classify_batch_unpaired(reads)
 
-    # warmup: trigger all jit compiles on a small slice
-    pipe.classify_batch_unpaired(reads[:64])
-
+    # steady-state measurement on a fresh pipeline (fresh metrics state)
+    pipe = TPUClassificationPipeline(idx)
     t0 = time.perf_counter()
     rows = [pipe.formatter.header()]
     rows += pipe.classify_batch_unpaired(reads)

@@ -61,6 +61,15 @@ class StrandState:
         self.done = False
         self.hits: List[PartialHit] = []
 
+    def clone(self) -> "StrandState":
+        """Fast deep copy (hits are mutated by extend_and_filter)."""
+        st = StrandState(self.length)
+        st.cur = self.cur
+        st.done = self.done
+        st.hits = [PartialHit(h.top, h.bot, h.bwoff, h.length)
+                   for h in self.hits]
+        return st
+
 
 def partial_search(fm, seq: np.ndarray, st: StrandState) -> None:
     """One greedy exact extension from st.cur (hi_aligner.h:902-1031).

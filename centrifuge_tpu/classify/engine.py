@@ -218,43 +218,109 @@ def batched_search(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff,
                        increment, max_hits, first_hit_only)
 
 
+@functools.partial(jax.jit, static_argnames=("min_hitlen", "increment",
+                                             "max_hits", "first_hit_only"))
+def batched_search_packed(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff,
+                          rseq, lengths, start_cur,
+                          min_hitlen: int, increment: int, max_hits: int,
+                          first_hit_only: bool):
+    """As batched_search, but packs all outputs into ONE (L, 4*mh+2)
+    int32 array on device: [h_top | h_bot | h_off | h_len | nhits | sums].
+    A single device->host transfer matters when the device sits behind a
+    network tunnel with per-fetch latency."""
+    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff)
+    h_top, h_bot, h_off, h_len, nhits, sums = search_loop(
+        kern, rseq, lengths, start_cur, min_hitlen, increment, max_hits,
+        first_hit_only)
+    return jnp.concatenate(
+        [h_top, h_bot, h_off, h_len, nhits[:, None], sums[:, None]], axis=1)
+
+
+def _bucket(n: int, lo: int = 256) -> int:
+    """Round up to a power of two (>= lo) so repeated batches hit the
+    jit cache instead of recompiling per shape."""
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
+
+
 class BatchSearchEngine:
-    """Host wrapper: pack reads -> device search -> PartialHit lists."""
+    """Host wrapper: pack reads -> device search -> PartialHit lists.
+
+    Shapes are bucketed (lane count and read length rounded up to powers
+    of two) so the search kernel compiles once per bucket; dead padding
+    lanes have length 0 and finish immediately. The hit buffer starts
+    small (max_hits=16, the overwhelmingly common case) and lanes that
+    overflow are re-run once with a full-size buffer.
+    """
+
+    FIRST_MAX_HITS = 16
 
     def __init__(self, fm: DeviceFMIndex, min_hitlen: int = 22):
         self.fm = fm
         self.min_hitlen = min_hitlen
         self.increment = 10 if 2 * min_hitlen <= 33 else 2 * min_hitlen - 33
 
-    def pack(self, seqs: List[np.ndarray], lmax: int) -> Tuple[np.ndarray, np.ndarray]:
+    def pack(self, seqs: List[np.ndarray], lmax: int,
+             nlanes: int) -> Tuple[np.ndarray, np.ndarray]:
         fc = self.fm.ftab_chars
-        L = len(seqs)
-        rseq = np.zeros((L, lmax + fc), dtype=np.int32)
-        lengths = np.zeros(L, dtype=np.int32)
+        rseq = np.zeros((nlanes, lmax + fc), dtype=np.int32)
+        lengths = np.zeros(nlanes, dtype=np.int32)
         for i, s in enumerate(seqs):
             lengths[i] = len(s)
             rseq[i, :len(s)] = s[::-1].astype(np.int32)
         return rseq, lengths
 
-    def search(self, seqs: List[np.ndarray]):
-        """Full scan for each sequence; returns per-lane raw hit arrays."""
-        lmax = max((len(s) for s in seqs), default=1)
-        rseq, lengths = self.pack(seqs, lmax)
-        start = np.zeros(len(seqs), dtype=np.int32)
-        res = batched_search(
+    def _run(self, rseq, lengths, start, max_hits, first_hit_only):
+        packed = np.asarray(batched_search_packed(
             self.fm.blocks, self.fm.fchr, self.fm.ftab_top, self.fm.ftab_bot,
             jnp.int32(self.fm.zoff), jnp.asarray(rseq), jnp.asarray(lengths),
             jnp.asarray(start), min_hitlen=self.min_hitlen,
-            increment=self.increment, max_hits=lmax, first_hit_only=False)
-        return [np.asarray(r) for r in res]
+            increment=self.increment, max_hits=max_hits,
+            first_hit_only=first_hit_only))
+        m = max_hits
+        return [packed[:, :m], packed[:, m:2 * m], packed[:, 2 * m:3 * m],
+                packed[:, 3 * m:4 * m], packed[:, 4 * m], packed[:, 4 * m + 1]]
+
+    def search(self, seqs: List[np.ndarray]):
+        """Full scan for each sequence; returns per-lane raw hit arrays."""
+        L = len(seqs)
+        lmax = _bucket(max((len(s) for s in seqs), default=1), lo=32)
+        nlanes = _bucket(L)
+        rseq, lengths = self.pack(seqs, lmax, nlanes)
+        start = np.zeros(nlanes, dtype=np.int32)
+        mh = min(self.FIRST_MAX_HITS, lmax)
+        out = self._run(rseq, lengths, start, mh, False)
+        over = np.nonzero(out[4] > mh)[0]
+        if over.shape[0]:
+            # rare: a lane emitted more hits than the small buffer holds
+            nover = _bucket(over.shape[0], lo=32)
+            rseq2 = np.zeros((nover, rseq.shape[1]), dtype=np.int32)
+            rseq2[: over.shape[0]] = rseq[over]
+            lengths2 = np.zeros(nover, dtype=np.int32)
+            lengths2[: over.shape[0]] = lengths[over]
+            full = self._run(rseq2, lengths2,
+                             np.zeros(nover, dtype=np.int32), lmax, False)
+            wide = [np.zeros((nlanes, lmax), a.dtype) if a.ndim == 2 else a
+                    for a in out]
+            for k in range(4):
+                wide[k][:, :mh] = out[k]
+                wide[k][over] = full[k][: over.shape[0]]
+            wide[4] = out[4].copy()
+            wide[4][over] = full[4][: over.shape[0]]
+            wide[5] = out[5].copy()
+            wide[5][over] = full[5][: over.shape[0]]
+            out = wide
+        return [a[:L] for a in out]
 
     def search_first_hits(self, seqs: List[np.ndarray], offsets: np.ndarray):
         """One partialSearch per lane from the given offsets (extension pass)."""
-        lmax = max((len(s) for s in seqs), default=1)
-        rseq, lengths = self.pack(seqs, lmax)
-        res = batched_search(
-            self.fm.blocks, self.fm.fchr, self.fm.ftab_top, self.fm.ftab_bot,
-            jnp.int32(self.fm.zoff), jnp.asarray(rseq), jnp.asarray(lengths),
-            jnp.asarray(offsets.astype(np.int32)), min_hitlen=self.min_hitlen,
-            increment=self.increment, max_hits=1, first_hit_only=True)
-        return [np.asarray(r) for r in res]
+        L = len(seqs)
+        lmax = _bucket(max((len(s) for s in seqs), default=1), lo=32)
+        nlanes = _bucket(L, lo=32)
+        rseq, lengths = self.pack(seqs, lmax, nlanes)
+        start = np.zeros(nlanes, dtype=np.int32)
+        start[:L] = offsets.astype(np.int32)
+        out = self._run(rseq, lengths, start, 1, True)
+        return [a[:L] for a in out]

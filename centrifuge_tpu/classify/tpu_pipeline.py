@@ -15,7 +15,6 @@ big batch:
 
 from __future__ import annotations
 
-import copy
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -167,7 +166,7 @@ class TPUClassificationPipeline:
             still: List[Tuple[int, int]] = []
             for key in todo:
                 ui, mi = key
-                states = copy.deepcopy(pristine[key][0])
+                states = [st.clone() for st in pristine[key][0]]
                 sums = pristine[key][1]
                 seqs = units[ui][mi]
 
@@ -221,13 +220,18 @@ class TPUClassificationPipeline:
             is_paired = paired if paired is not None else paired_flags[ui]
             cls.classify_with_states(mates, mstates, is_paired, make_recorder())
 
-        # batched resolve of all requested SA elements
+        # batched resolve of all requested SA elements (rows padded to a
+        # power-of-two bucket so the jitted resolver compiles once)
         values: List[List[int]] = []
         if requests:
+            from .engine import _bucket
             rows = np.concatenate([
                 np.arange(top, top + nelt, dtype=np.int64)
                 for top, nelt in requests]).astype(np.int32)
-            tidx = np.asarray(self.resolver(rows))
+            nrows = rows.shape[0]
+            padded = np.zeros(_bucket(nrows), dtype=np.int32)
+            padded[:nrows] = rows
+            tidx = np.asarray(self.resolver(padded))[:nrows]
             pos = 0
             for top, nelt in requests:
                 values.append([int(v) for v in tidx[pos:pos + nelt]])

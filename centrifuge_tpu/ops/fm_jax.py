@@ -158,54 +158,70 @@ def lf_step_with_char(blocks, fchr, zoff, rows):
     return lf_kernel(blocks, fchr, zoff, rows, c)
 
 
+@functools.partial(jax.jit, static_argnames=("sample_mask", "offrate",
+                                             "has_bounds", "narrow",
+                                             "max_steps"))
+def _resolve_rows(blocks, fchr, offs, boundary_rows, boundary_refs, zoff,
+                  rows, sample_mask: int, offrate: int, has_bounds: bool,
+                  narrow: bool, max_steps: int):
+    """Jitted SA-row -> tidx walk; module-level so the compile is cached
+    across pipeline instances (keyed by array shapes + static config)."""
+
+    def try_offset(rows):
+        tidx = jnp.full_like(rows, -1)
+        sampled = (rows & sample_mask) == 0
+        sval = offs[jnp.clip(rows >> offrate, 0, offs.shape[0] - 1)]
+        tidx = jnp.where(sampled, sval, tidx)
+        if has_bounds:
+            pos = jnp.searchsorted(boundary_rows, rows)
+            posc = jnp.clip(pos, 0, boundary_rows.shape[0] - 1)
+            is_b = (boundary_rows[posc] == rows) & ~sampled
+            bval = boundary_refs[posc]
+            if narrow:
+                bval = bval & 0xFFFF
+            # the check is gated on a nonzero max boundary row
+            # (bt2_idx.h:2001-2010)
+            last = boundary_rows[-1]
+            is_b = is_b & (last > 0) & (rows <= last)
+            tidx = jnp.where(is_b, bval, tidx)
+        tidx = jnp.where(rows == zoff, 0, tidx)
+        return tidx
+
+    def cond(state):
+        rows, tidx, it = state
+        return (tidx < 0).any() & (it < max_steps)
+
+    def body(state):
+        rows, tidx, it = state
+        unresolved = tidx < 0
+        step_rows = jnp.where(unresolved, rows, 0)
+        nxt = lf_step_with_char(blocks, fchr, zoff, step_rows)
+        rows = jnp.where(unresolved, nxt, rows)
+        t2 = try_offset(rows)
+        tidx = jnp.where(unresolved, t2, tidx)
+        return rows, tidx, it + 1
+
+    tidx = try_offset(rows)
+    rows, tidx, _ = jax.lax.while_loop(cond, body, (rows, tidx, jnp.int32(0)))
+    return tidx
+
+
 def make_resolver(fm: DeviceFMIndex, max_steps: int = 4096):
     """Batched SA-row -> sequence-index resolver.
 
     Walks LF until each row hits the '$' row, a sampled row, or a
     genome-boundary row (tryOffset, bt2_idx.h:1980-2014 + the GroupWalk
-    walk). Returns a jitted fn rows int32[M] -> tidx int32[M].
+    walk). Returns a fn rows int32[M] -> tidx int32[M].
     """
     sample_mask = (1 << fm.offrate) - 1
     has_bounds = fm.boundary_rows.shape[0] > 0
     narrow = fm.npat <= 0xFFFF
 
-    def try_offset(rows):
-        tidx = jnp.full_like(rows, -1)
-        sampled = (rows & sample_mask) == 0
-        sval = fm.offs[jnp.clip(rows >> fm.offrate, 0, fm.offs.shape[0] - 1)]
-        tidx = jnp.where(sampled, sval, tidx)
-        if has_bounds:
-            pos = jnp.searchsorted(fm.boundary_rows, rows)
-            posc = jnp.clip(pos, 0, fm.boundary_rows.shape[0] - 1)
-            is_b = (fm.boundary_rows[posc] == rows) & ~sampled
-            bval = fm.boundary_refs[posc]
-            if narrow:
-                bval = bval & 0xFFFF
-            # the check is gated on a nonzero max boundary row
-            # (bt2_idx.h:2001-2010)
-            last = fm.boundary_rows[-1]
-            is_b = is_b & (last > 0) & (rows <= last)
-            tidx = jnp.where(is_b, bval, tidx)
-        tidx = jnp.where(rows == fm.zoff, 0, tidx)
-        return tidx
-
     def resolve(rows):
-        def cond(state):
-            rows, tidx, it = state
-            return (tidx < 0).any() & (it < max_steps)
+        return _resolve_rows(
+            fm.blocks, fm.fchr, fm.offs, fm.boundary_rows, fm.boundary_refs,
+            jnp.int32(fm.zoff), rows, sample_mask=sample_mask,
+            offrate=fm.offrate, has_bounds=has_bounds, narrow=narrow,
+            max_steps=max_steps)
 
-        def body(state):
-            rows, tidx, it = state
-            unresolved = tidx < 0
-            step_rows = jnp.where(unresolved, rows, 0)
-            nxt = lf_step_with_char(fm.blocks, fm.fchr, fm.zoff, step_rows)
-            rows = jnp.where(unresolved, nxt, rows)
-            t2 = try_offset(rows)
-            tidx = jnp.where(unresolved, t2, tidx)
-            return rows, tidx, it + 1
-
-        tidx = try_offset(rows)
-        rows, tidx, _ = jax.lax.while_loop(cond, body, (rows, tidx, jnp.int32(0)))
-        return tidx
-
-    return jax.jit(resolve)
+    return resolve

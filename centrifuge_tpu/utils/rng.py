@@ -42,13 +42,21 @@ def gen_read_seed(seq_codes, qual: bytes, name: bytes, seed: int) -> int:
 
     The name contributes only up to the first '/'.
     """
+    import numpy as np
     rseed = ((seed + 101) * 59 * 61 * 67 * 71 * 73 * 79 * 83) & M32
-    for i, p in enumerate(seq_codes):
-        rseed ^= int(p) << ((i & 15) << 1)
-    for i, p in enumerate(qual):
-        rseed ^= p << ((i & 3) << 3)
-    for i, p in enumerate(name):
-        if p == ord("/"):
-            break
-        rseed ^= p << ((i & 3) << 3)
+    n = len(seq_codes)
+    if n:
+        shifts = (np.arange(n) & 15) << 1
+        vals = seq_codes.astype(np.int64) << shifts
+        # XOR-fold the per-position contributions per shift class
+        rseed ^= int(np.bitwise_xor.reduce(vals))
+    q = np.frombuffer(qual, np.uint8)
+    if q.shape[0]:
+        rseed ^= int(np.bitwise_xor.reduce(
+            q.astype(np.int64) << ((np.arange(q.shape[0]) & 3) << 3)))
+    slash = name.find(b"/")
+    nm = np.frombuffer(name[:slash] if slash >= 0 else name, np.uint8)
+    if nm.shape[0]:
+        rseed ^= int(np.bitwise_xor.reduce(
+            nm.astype(np.int64) << ((np.arange(nm.shape[0]) & 3) << 3)))
     return rseed & M32
