@@ -32,15 +32,23 @@ def main():
     idx = load_cf_index(os.path.join(FIXDIR, "synth"))
     reads = read_batch([os.path.join(FIXDIR, "reads.fq")])
 
+    BATCH = 1024
+
+    def batches(rs):
+        for i in range(0, len(rs), BATCH):
+            yield rs[i: i + BATCH]
+
     # warmup pass: triggers every jit compile at the production shapes
     pipe = TPUClassificationPipeline(idx)
-    pipe.classify_batch_unpaired(reads)
+    for _ in pipe.classify_stream_unpaired(batches(reads)):
+        pass
 
     # steady-state measurement on a fresh pipeline (fresh metrics state)
     pipe = TPUClassificationPipeline(idx)
     t0 = time.perf_counter()
     rows = [pipe.formatter.header()]
-    rows += pipe.classify_batch_unpaired(reads)
+    for chunk in pipe.classify_stream_unpaired(batches(reads)):
+        rows += chunk
     dt = time.perf_counter() - t0
 
     golden = open(os.path.join(FIXDIR, "golden_output.tsv")).read().splitlines()

@@ -283,6 +283,33 @@ class BatchSearchEngine:
         return [packed[:, :m], packed[:, m:2 * m], packed[:, 2 * m:3 * m],
                 packed[:, 3 * m:4 * m], packed[:, 4 * m], packed[:, 4 * m + 1]]
 
+    def search_async(self, seqs: List[np.ndarray]):
+        """Dispatch the device search without blocking; returns a handle
+        for search_collect. jax execution is async, so the device starts
+        working while the host moves on."""
+        L = len(seqs)
+        lmax = _bucket(max((len(s) for s in seqs), default=1), lo=32)
+        nlanes = _bucket(L)
+        rseq, lengths = self.pack(seqs, lmax, nlanes)
+        start = np.zeros(nlanes, dtype=np.int32)
+        mh = min(self.FIRST_MAX_HITS, lmax)
+        packed = batched_search_packed(
+            self.fm.blocks, self.fm.fchr, self.fm.ftab_top, self.fm.ftab_bot,
+            jnp.int32(self.fm.zoff), jnp.asarray(rseq), jnp.asarray(lengths),
+            jnp.asarray(start), min_hitlen=self.min_hitlen,
+            increment=self.increment, max_hits=mh, first_hit_only=False)
+        return (packed, rseq, lengths, mh, lmax, nlanes)
+
+    def search_collect(self, handle, L: int):
+        """Block on a search_async handle and return per-lane arrays."""
+        packed, rseq, lengths, mh, lmax, nlanes = handle
+        packed = np.asarray(packed)
+        out = [packed[:, :mh], packed[:, mh:2 * mh], packed[:, 2 * mh:3 * mh],
+               packed[:, 3 * mh:4 * mh], packed[:, 4 * mh],
+               packed[:, 4 * mh + 1]]
+        out = self._handle_overflow(out, rseq, lengths, mh, lmax, nlanes)
+        return [a[:L] for a in out]
+
     def search(self, seqs: List[np.ndarray]):
         """Full scan for each sequence; returns per-lane raw hit arrays."""
         L = len(seqs)
@@ -291,7 +318,10 @@ class BatchSearchEngine:
         rseq, lengths = self.pack(seqs, lmax, nlanes)
         start = np.zeros(nlanes, dtype=np.int32)
         mh = min(self.FIRST_MAX_HITS, lmax)
-        out = self._run(rseq, lengths, start, mh, False)
+        out = self._handle_overflow(out, rseq, lengths, mh, lmax, nlanes)
+        return [a[:L] for a in out]
+
+    def _handle_overflow(self, out, rseq, lengths, mh, lmax, nlanes):
         over = np.nonzero(out[4] > mh)[0]
         if over.shape[0]:
             # rare: a lane emitted more hits than the small buffer holds
@@ -312,7 +342,7 @@ class BatchSearchEngine:
             wide[5] = out[5].copy()
             wide[5][over] = full[5][: over.shape[0]]
             out = wide
-        return [a[:L] for a in out]
+        return out
 
     def search_first_hits(self, seqs: List[np.ndarray], offsets: np.ndarray):
         """One partialSearch per lane from the given offsets (extension pass)."""

@@ -16,7 +16,7 @@ big batch:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -82,6 +82,54 @@ class TPUClassificationPipeline:
                 unclassified=not chosen))
         return rows
 
+    def classify_stream_unpaired(self, batches) -> "Iterator[List[str]]":
+        """Pipelined streaming: the device searches batch N+1 while the
+        host finishes batch N (jax dispatch is async; only the transfer
+        blocks). Yields the output rows of each batch in order."""
+        pending = None  # (recs, passes, units, device_future)
+        for recs in batches:
+            units = [[(r.seq, r.revcomp())] for r in recs]
+            passes = [n_filter(r.seq, self.cfg.n_ceil_const,
+                               self.cfg.n_ceil_coef)
+                      and len(r.seq) >= self.cfg.min_read_len for r in recs]
+            fut = self._dispatch_units(units, passes)
+            if pending is not None:
+                yield self._finish_batch(*pending)
+            pending = (recs, passes, units, fut)
+        if pending is not None:
+            yield self._finish_batch(*pending)
+
+    def _dispatch_units(self, units, active):
+        """Launch the device search for a batch; returns an opaque handle."""
+        lane_seqs: List[np.ndarray] = []
+        lane_map: List[Tuple[int, int, int]] = []
+        for ui, (unit, ok) in enumerate(zip(units, active)):
+            if not ok:
+                continue
+            for mi, (fw, rc) in enumerate(unit):
+                lane_seqs.append(fw)
+                lane_map.append((ui, mi, 0))
+                lane_seqs.append(rc)
+                lane_map.append((ui, mi, 1))
+        handle = self.engine.search_async(lane_seqs) if lane_seqs else None
+        return lane_seqs, lane_map, handle
+
+    def _finish_batch(self, recs, passes, units, fut) -> List[str]:
+        lane_seqs, lane_map, handle = fut
+        results = self._classify_units(
+            units, passes, paired=False,
+            prefetched=(lane_seqs, lane_map, handle))
+        rows: List[str] = []
+        for rec, ok, res in zip(recs, passes, results):
+            rnd = LCG(gen_read_seed(rec.seq, rec.qual, rec.name,
+                                    self.cfg.seed))
+            chosen, secbest = select_results(
+                res, self.cfg.classifier.khits, rnd) if ok else ([], 0)
+            rows.extend(self.formatter.rows_for_read(
+                rec.name, len(rec.seq), chosen, secbest, self.spm,
+                unclassified=not chosen))
+        return rows
+
     def classify_batch_paired(self, pairs: Sequence[Tuple[ReadRec, ReadRec]]
                               ) -> List[str]:
         units = []
@@ -128,24 +176,31 @@ class TPUClassificationPipeline:
 
     # ---- core batch machinery ----
 
-    def _classify_units(self, units, active, paired, paired_flags=None):
+    def _classify_units(self, units, active, paired, paired_flags=None,
+                        prefetched=None):
         """units: per read/pair a list of (seq_fw, seq_rc) mates."""
         cls = self.classifier
         cfg = self.cfg.classifier
         # 1. batched full search over all lanes
-        lane_seqs: List[np.ndarray] = []
-        lane_map: List[Tuple[int, int, int]] = []  # (unit, mate, strand)
-        for ui, (unit, ok) in enumerate(zip(units, active)):
-            if not ok:
-                continue
-            for mi, (fw, rc) in enumerate(unit):
-                lane_seqs.append(fw)
-                lane_map.append((ui, mi, 0))
-                lane_seqs.append(rc)
-                lane_map.append((ui, mi, 1))
-        if not lane_seqs:
-            return [[] for _ in units]
-        arrays = self.engine.search(lane_seqs)
+        if prefetched is not None:
+            lane_seqs, lane_map, handle = prefetched
+            if not lane_seqs:
+                return [[] for _ in units]
+            arrays = self.engine.search_collect(handle, len(lane_seqs))
+        else:
+            lane_seqs = []
+            lane_map: List[Tuple[int, int, int]] = []  # (unit, mate, strand)
+            for ui, (unit, ok) in enumerate(zip(units, active)):
+                if not ok:
+                    continue
+                for mi, (fw, rc) in enumerate(unit):
+                    lane_seqs.append(fw)
+                    lane_map.append((ui, mi, 0))
+                    lane_seqs.append(rc)
+                    lane_map.append((ui, mi, 1))
+            if not lane_seqs:
+                return [[] for _ in units]
+            arrays = self.engine.search(lane_seqs)
 
         pristine: Dict[Tuple[int, int], Tuple[list, list]] = {}
         for li, (ui, mi, si) in enumerate(lane_map):

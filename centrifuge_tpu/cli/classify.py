@@ -213,8 +213,9 @@ def run(argv: List[str]) -> int:
         unpaired_src = reads_iter(unpaired) if unpaired else iter(())
 
     if args.engine == "tpu":
-        for batch in batches(unpaired_src, args.batch_size):
-            for row in pipe.classify_batch_unpaired(batch):
+        for chunk in pipe.classify_stream_unpaired(
+                batches(unpaired_src, args.batch_size)):
+            for row in chunk:
                 out.write(row + "\n")
         if m1:
             for batch in batches(pairs_iter(m1, m2), args.batch_size):
