@@ -318,6 +318,7 @@ class BatchSearchEngine:
         rseq, lengths = self.pack(seqs, lmax, nlanes)
         start = np.zeros(nlanes, dtype=np.int32)
         mh = min(self.FIRST_MAX_HITS, lmax)
+        out = self._run(rseq, lengths, start, mh, False)
         out = self._handle_overflow(out, rseq, lengths, mh, lmax, nlanes)
         return [a[:L] for a in out]
 
