@@ -35,6 +35,21 @@ class SpeciesMetrics:
         self.species_counts: Dict[int, list] = {}
         self.observed: Dict[Tuple[int, ...], int] = {}
         self.cur_ids: List[int] = []
+        # tid -> HLL++ sketch of distinct 32-mers in uniquely-assigned
+        # reads (aln_sink.h:2349-2357); populated only when kmer counting
+        # is enabled (the reference computes it always but never prints it)
+        self.species_kmers: Dict[int, object] = {}
+
+    def add_kmers(self, tax_id: int, seq_codes, begin: int, length: int) -> None:
+        from ..report.hll import HyperLogLogPlus, kmers_of
+        sk = self.species_kmers.get(tax_id)
+        if sk is None:
+            sk = self.species_kmers[tax_id] = HyperLogLogPlus()
+        sk.add(kmers_of(seq_codes[begin: begin + length]))
+
+    def n_distinct_kmers(self, tax_id: int) -> int:
+        sk = self.species_kmers.get(tax_id)
+        return sk.cardinality() if sk is not None else 0
 
     def add(self, tax_id: int, score: int, max_score: int,
             summed_hit_len: float, nresult: int) -> None:
@@ -90,12 +105,43 @@ class PipelineConfig:
     n_ceil_const: float = 2.0
     n_ceil_coef: float = 0.1
     min_read_len: int = 2
+    # per-taxon distinct-kmer HLL sketches for unique reads; the
+    # reference always computes them but never prints them
+    # (centrifuge.cpp:3296-3298 is if(false)'d), so default off for speed
+    count_kmers: bool = False
 
 
 def n_filter(seq: np.ndarray, n_ceil_const: float, n_ceil_coef: float) -> bool:
     """True iff the read passes the max-N filter (scoring.cpp:104-117)."""
     maxns = min(int(n_ceil_const + n_ceil_coef * len(seq)), len(seq))
     return int(np.count_nonzero(seq == 4)) <= maxns
+
+
+# column name -> field kind, mirroring col_name_map (centrifuge.cpp:483-518)
+_COLUMN_FIELD = {
+    "readID": "READ_ID", "seqID": "SEQ_ID",
+    "taxLevel": "TAX_RANK", "taxRank": "TAX_RANK",
+    "taxID": "TAX_ID", "taxName": "TAX_NAME",
+    "score": "SCORE", "2ndBestScore": "SCORE2",
+    "hitLength": "HIT_LENGTH", "queryLength": "QUERY_LENGTH",
+    "numMatches": "NUM_MATCHES", "readSeq": "SEQ", "readQual": "QUAL",
+    # SAM aliases (--out-fmt sam)
+    "QNAME": "READ_ID", "FLAG": "ZERO", "RNAME": "TAX_ID", "POS": "ZERO",
+    "MAPQ": "ZERO", "CIGAR": "STAR", "RNEXT": "SEQ_ID", "PNEXT": "ZERO",
+    "TLEN": "QUERY_LENGTH", "SEQ": "SEQ", "QUAL": "QUAL",
+    "SEQ1": "SEQ1", "SEQ2": "SEQ2", "QUAL1": "QUAL1", "QUAL2": "QUAL2",
+    "readSeq1": "SEQ1", "readSeq2": "SEQ2",
+    "readQual1": "QUAL1", "readQual2": "QUAL2",
+}
+
+SAM_COLUMNS = ["QNAME", "FLAG", "RNAME", "POS", "MAPQ", "CIGAR", "RNEXT",
+               "PNEXT", "TLEN", "SEQ", "QUAL"]
+
+_CODE_TO_BASE = "ACGTN"
+
+
+def codes_to_str(seq: np.ndarray) -> str:
+    return "".join(_CODE_TO_BASE[min(int(c), 4)] for c in seq)
 
 
 class ResultFormatter:
@@ -112,7 +158,9 @@ class ResultFormatter:
     def rows_for_read(self, name: bytes, qlen: int,
                       results: List[AlnResult], secbest: int,
                       spm: SpeciesMetrics,
-                      unclassified: bool) -> List[str]:
+                      unclassified: bool,
+                      reads: Optional[Tuple] = None) -> List[str]:
+        """reads: optional (rec1, rec2-or-None) for SEQ/QUAL columns."""
         from ..index.taxonomy import rank_string
         rows = []
         if unclassified or not results:
@@ -122,36 +170,70 @@ class ResultFormatter:
             secbest = 0
         n_results = len(results)
         rid = format_read_id(name)
+        rec1 = reads[0] if reads else None
+        rec2 = reads[1] if reads and len(reads) > 1 else None
         for r in results:
             node = self.tree.get(r.tax_id)
             leaf = node.leaf if node is not None else True
             seq_id = r.uid if leaf else rank_string(r.tax_rank)
             vals = []
             for col in self.cfg.columns:
-                if col == "readID":
+                kind = _COLUMN_FIELD.get(col)
+                if kind == "READ_ID":
                     vals.append(rid)
-                elif col == "seqID":
+                elif kind == "SEQ_ID":
                     vals.append(seq_id)
-                elif col == "taxID":
+                elif kind == "TAX_ID":
                     vals.append(format_tax_id(r.tax_id))
-                elif col == "score":
+                elif kind == "SCORE":
                     vals.append(str(r.score))
-                elif col == "2ndBestScore":
+                elif kind == "SCORE2":
                     vals.append(str(secbest))
-                elif col == "hitLength":
+                elif kind == "HIT_LENGTH":
                     vals.append(str(int(r.summed_len)))
-                elif col == "queryLength":
+                elif kind == "QUERY_LENGTH":
                     vals.append(str(qlen))
-                elif col == "numMatches":
+                elif kind == "NUM_MATCHES":
                     vals.append(str(n_results))
-                elif col == "taxRank":
+                elif kind == "TAX_RANK":
                     vals.append(rank_string(r.tax_rank))
-                elif col == "taxName":
+                elif kind == "TAX_NAME":
                     vals.append(self.idx.taxonomy.names.get(r.tax_id, ""))
+                elif kind == "ZERO":
+                    vals.append("0")
+                elif kind == "STAR":
+                    vals.append("*")
+                elif kind == "SEQ":
+                    s1 = codes_to_str(rec1.seq) if rec1 is not None else ""
+                    if rec2 is not None:
+                        s1 += "." + codes_to_str(rec2.seq)
+                    vals.append(s1)
+                elif kind == "QUAL":
+                    q1 = rec1.qual.decode() if rec1 is not None else ""
+                    if rec2 is not None:
+                        q1 += "." + rec2.qual.decode()
+                    vals.append(q1)
+                elif kind == "SEQ1":
+                    vals.append(codes_to_str(rec1.seq) if rec1 is not None else "")
+                elif kind == "SEQ2":
+                    vals.append(codes_to_str(rec2.seq) if rec2 is not None else "")
+                elif kind == "QUAL1":
+                    vals.append(rec1.qual.decode() if rec1 is not None else "")
+                elif kind == "QUAL2":
+                    vals.append(rec2.qual.decode() if rec2 is not None else "")
                 else:
                     vals.append("")
             rows.append("\t".join(vals))
             spm.add(r.tax_id, r.score, r.max_score, r.summed_len, n_results)
+            # distinct k-mers only for uniquely-assigned reads
+            # (aln_sink.h:2349-2357); unpaired only -- positions refer to
+            # the chosen strand of the single mate
+            if (self.cfg.count_kmers and n_results == 1
+                    and not unclassified and rec1 is not None
+                    and rec2 is None):
+                strand = rec1.seq if r.is_fw else rec1.revcomp()
+                for begin, length in r.read_positions:
+                    spm.add_kmers(r.tax_id, strand, begin, length)
         return rows
 
 
@@ -173,20 +255,22 @@ class ClassificationPipeline:
     def classify_unpaired(self, rec: ReadRec) -> List[str]:
         if not self._passes(rec):
             return self.formatter.rows_for_read(
-                rec.name, len(rec.seq), [], 0, self.spm, unclassified=True)
+                rec.name, len(rec.seq), [], 0, self.spm, unclassified=True,
+                reads=(rec,))
         results = self.classifier.classify([(rec.seq, rec.revcomp())], paired=False)
         rnd = LCG(gen_read_seed(rec.seq, rec.qual, rec.name, self.cfg.seed))
         chosen, secbest = select_results(results, self.cfg.classifier.khits, rnd)
         return self.formatter.rows_for_read(
             rec.name, len(rec.seq), chosen, secbest, self.spm,
-            unclassified=not chosen)
+            unclassified=not chosen, reads=(rec,))
 
     def classify_paired(self, rec1: ReadRec, rec2: ReadRec) -> List[str]:
         p1, p2 = self._passes(rec1), self._passes(rec2)
         qlen = len(rec1.seq) + len(rec2.seq)
         if not p1 and not p2:
             return self.formatter.rows_for_read(
-                rec1.name, qlen, [], 0, self.spm, unclassified=True)
+                rec1.name, qlen, [], 0, self.spm, unclassified=True,
+                reads=(rec1, rec2))
         seed1 = gen_read_seed(rec1.seq, rec1.qual, rec1.name, self.cfg.seed)
         if p1 and p2:
             seed2 = gen_read_seed(rec2.seq, rec2.qual, rec2.name, self.cfg.seed)
@@ -200,4 +284,4 @@ class ClassificationPipeline:
         chosen, secbest = select_results(results, self.cfg.classifier.khits, rnd)
         return self.formatter.rows_for_read(
             rec1.name, qlen, chosen, secbest, self.spm,
-            unclassified=not chosen)
+            unclassified=not chosen, reads=(rec1, rec2))

@@ -64,23 +64,40 @@ class TPUClassificationPipeline:
         self.classifier = Classifier(idx, None, self.cfg.classifier)
         self.formatter = ResultFormatter(idx, self.cfg)
         self.spm = SpeciesMetrics()
+        from ..utils.metrics import PerfMetrics
+        self.metrics = PerfMetrics()
 
     # ---- batched units ----
+
+    def _emit_rows(self, recs, passes, results) -> List[str]:
+        rows: List[str] = []
+        m = self.metrics
+        for rec, ok, res in zip(recs, passes, results):
+            rnd = LCG(gen_read_seed(rec.seq, rec.qual, rec.name,
+                                    self.cfg.seed))
+            chosen, secbest = select_results(
+                res, self.cfg.classifier.khits, rnd) if ok else ([], 0)
+            m.reads += 1
+            m.bases += len(rec.seq)
+            if not ok:
+                m.filtered += 1
+            if chosen:
+                m.reads_classified += 1
+                m.assignments += len(chosen)
+            else:
+                m.reads_unclassified += 1
+            rows.extend(self.formatter.rows_for_read(
+                rec.name, len(rec.seq), chosen, secbest, self.spm,
+                unclassified=not chosen, reads=(rec,)))
+        m.batches += 1
+        return rows
 
     def classify_batch_unpaired(self, recs: Sequence[ReadRec]) -> List[str]:
         units = [[(r.seq, r.revcomp())] for r in recs]
         passes = [n_filter(r.seq, self.cfg.n_ceil_const, self.cfg.n_ceil_coef)
                   and len(r.seq) >= self.cfg.min_read_len for r in recs]
         results = self._classify_units(units, passes, paired=False)
-        rows: List[str] = []
-        for rec, ok, res in zip(recs, passes, results):
-            rnd = LCG(gen_read_seed(rec.seq, rec.qual, rec.name, self.cfg.seed))
-            chosen, secbest = select_results(res, self.cfg.classifier.khits, rnd) \
-                if ok else ([], 0)
-            rows.extend(self.formatter.rows_for_read(
-                rec.name, len(rec.seq), chosen, secbest, self.spm,
-                unclassified=not chosen))
-        return rows
+        return self._emit_rows(recs, passes, results)
 
     def classify_stream_unpaired(self, batches) -> "Iterator[List[str]]":
         """Pipelined streaming: the device searches batch N+1 while the
@@ -112,6 +129,8 @@ class TPUClassificationPipeline:
                 lane_seqs.append(rc)
                 lane_map.append((ui, mi, 1))
         handle = self.engine.search_async(lane_seqs) if lane_seqs else None
+        self.metrics.lanes += len(lane_seqs)
+        self.metrics.device_dispatches += 1
         return lane_seqs, lane_map, handle
 
     def _finish_batch(self, recs, passes, units, fut) -> List[str]:
@@ -119,16 +138,7 @@ class TPUClassificationPipeline:
         results = self._classify_units(
             units, passes, paired=False,
             prefetched=(lane_seqs, lane_map, handle))
-        rows: List[str] = []
-        for rec, ok, res in zip(recs, passes, results):
-            rnd = LCG(gen_read_seed(rec.seq, rec.qual, rec.name,
-                                    self.cfg.seed))
-            chosen, secbest = select_results(
-                res, self.cfg.classifier.khits, rnd) if ok else ([], 0)
-            rows.extend(self.formatter.rows_for_read(
-                rec.name, len(rec.seq), chosen, secbest, self.spm,
-                unclassified=not chosen))
-        return rows
+        return self._emit_rows(recs, passes, results)
 
     def classify_batch_paired(self, pairs: Sequence[Tuple[ReadRec, ReadRec]]
                               ) -> List[str]:
@@ -156,6 +166,7 @@ class TPUClassificationPipeline:
         results = self._classify_units(units, [bool(u) for u in units],
                                        paired=None, paired_flags=paired_flags)
         rows: List[str] = []
+        m = self.metrics
         for (r1, r2), (p1, p2), res in zip(pairs, passes, results):
             qlen = len(r1.seq) + len(r2.seq)
             if p1 or p2:
@@ -169,9 +180,18 @@ class TPUClassificationPipeline:
                     res, self.cfg.classifier.khits, rnd)
             else:
                 chosen, secbest = [], 0
+            m.reads += 1
+            m.bases += qlen
+            if not (p1 or p2):
+                m.filtered += 1
+            if chosen:
+                m.reads_classified += 1
+                m.assignments += len(chosen)
+            else:
+                m.reads_unclassified += 1
             rows.extend(self.formatter.rows_for_read(
                 r1.name, qlen, chosen, secbest, self.spm,
-                unclassified=not chosen))
+                unclassified=not chosen, reads=(r1, r2)))
         return rows
 
     # ---- core batch machinery ----
@@ -284,6 +304,7 @@ class TPUClassificationPipeline:
                 np.arange(top, top + nelt, dtype=np.int64)
                 for top, nelt in requests]).astype(np.int32)
             nrows = rows.shape[0]
+            self.metrics.resolve_rows += nrows
             padded = np.zeros(_bucket(nrows), dtype=np.int32)
             padded[:nrows] = rows
             tidx = np.asarray(self.resolver(padded))[:nrows]

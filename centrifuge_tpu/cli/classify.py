@@ -58,6 +58,18 @@ def make_parser() -> argparse.ArgumentParser:
                    help="Inputs are FASTA (auto-detected)")
     p.add_argument("-c", dest="cmdline", action="store_true",
                    help="Read sequences are given on the command line")
+    p.add_argument("-r", dest="raw", action="store_true",
+                   help="Inputs are raw one-sequence-per-line")
+    p.add_argument("--qseq", action="store_true",
+                   help="Inputs are Illumina qseq files")
+    p.add_argument("--12", dest="tab12", metavar="<tab>",
+                   help="Comma-separated tabbed (1-2-mates-per-line) files")
+    p.add_argument("-F", dest="fasta_cont", metavar="k:<int>,i:<int>",
+                   help="Classify consecutive k-mers of the input seqs")
+    p.add_argument("--un", dest="un_file", metavar="<path>",
+                   help="Write unclassified reads to <path>")
+    p.add_argument("--al", dest="al_file", metavar="<path>",
+                   help="Write classified reads to <path>")
     p.add_argument("-u", "--upto", dest="upto", type=int, default=0,
                    metavar="<int>", help="Stop after the first <int> reads")
     p.add_argument("-s", "--skip", dest="skip", type=int, default=0,
@@ -80,6 +92,12 @@ def make_parser() -> argparse.ArgumentParser:
                    help="Accepted for compatibility")
     p.add_argument("--reorder", action="store_true",
                    help="Accepted for compatibility (output always ordered)")
+    p.add_argument("--met-file", metavar="<path>",
+                   help="Write interval metrics TSV to <path>")
+    p.add_argument("--met-stderr", action="store_true",
+                   help="Write interval metrics to stderr")
+    p.add_argument("--met", type=int, default=1, metavar="<int>",
+                   help="Metrics emission interval in seconds (default 1)")
     p.add_argument("--engine", default="tpu", choices=["tpu", "oracle"],
                    help="Device batch engine (tpu) or numpy oracle")
     p.add_argument("--version", action="store_true")
@@ -115,15 +133,19 @@ def run(argv: List[str]) -> int:
 
     from ..classify.algo import ClassifierConfig
     from ..classify.pipeline import (DEFAULT_COLUMNS, ClassificationPipeline,
-                                     PipelineConfig)
+                                     PipelineConfig, codes_to_str,
+                                     format_read_id)
     from ..index.cf_io import load_cf_index
-    from ..io.fastx import read_fastx
+    from ..io.fastx import (read_fasta_continuous, read_fastx, read_qseq,
+                            read_raw, read_tabbed)
     from ..report.writers import write_report
 
     t_start = time.time()
     idx = load_cf_index(args.index)
 
-    columns = list(DEFAULT_COLUMNS)
+    from ..classify.pipeline import SAM_COLUMNS
+    columns = list(SAM_COLUMNS) if args.out_fmt == "sam" \
+        else list(DEFAULT_COLUMNS)
     if args.tab_fmt_cols:
         columns = [c for c in args.tab_fmt_cols.split(",") if c]
     cls_cfg = ClassifierConfig(
@@ -172,10 +194,21 @@ def run(argv: List[str]) -> int:
         if buf:
             yield buf
 
+    def _source(path):
+        if args.raw:
+            return read_raw(path)
+        if args.qseq:
+            return read_qseq(path)
+        if args.fasta_cont:
+            opts = dict(kv.split(":") for kv in args.fasta_cont.split(","))
+            return read_fasta_continuous(path, int(opts.get("k", 50)),
+                                         int(opts.get("i", 1)))
+        return read_fastx(path)
+
     def reads_iter(paths):
         nonlocal skip, nread
         for path in paths:
-            for rec in read_fastx(path):
+            for rec in _source(path):
                 if skip > 0:
                     skip -= 1
                     continue
@@ -201,6 +234,22 @@ def run(argv: List[str]) -> int:
                 yield (_trim(r1, args.trim5, args.trim3),
                        _trim(r2, args.trim5, args.trim3))
 
+    def tab12_iter(paths):
+        nonlocal skip, nread
+        for path in paths:
+            for item in read_tabbed(path, paired=True):
+                if skip > 0:
+                    skip -= 1
+                    continue
+                if budget is not None and nread >= budget:
+                    return
+                nread += 1
+                r1, r2 = item
+                r1 = _trim(r1, args.trim5, args.trim3)
+                if r2 is not None:
+                    r2 = _trim(r2, args.trim5, args.trim3)
+                yield (r1, r2)
+
     if args.cmdline:
         # -c: sequences are on the command line, one read per token
         from ..io.fastx import CODE_LUT, ReadRec
@@ -212,15 +261,80 @@ def run(argv: List[str]) -> int:
     else:
         unpaired_src = reads_iter(unpaired) if unpaired else iter(())
 
+    # --un/--al read teeing (the Perl wrapper's job in the reference)
+    un_f = open(args.un_file, "w") if args.un_file else None
+    al_f = open(args.al_file, "w") if args.al_file else None
+
+    def write_rec(f, rec):
+        seq = codes_to_str(rec.seq)
+        if args.fasta:
+            f.write(f">{rec.name.decode()}\n{seq}\n")
+        else:
+            f.write(f"@{rec.name.decode()}\n{seq}\n+\n{rec.qual.decode()}\n")
+
+    col_rid = columns.index("readID") if "readID" in columns else (
+        columns.index("QNAME") if "QNAME" in columns else None)
+    col_sid = columns.index("seqID") if "seqID" in columns else (
+        columns.index("RNEXT") if "RNEXT" in columns else None)
+
+    def tee(recs_batch, rows):
+        if (un_f is None and al_f is None) or col_rid is None \
+                or col_sid is None:
+            return
+        ri = 0
+        for rec in recs_batch:
+            rec0 = rec[0] if isinstance(rec, tuple) else rec
+            rid = format_read_id(rec0.name)
+            classified = False
+            matched = False
+            while ri < len(rows):
+                parts = rows[ri].split("\t")
+                if parts[col_rid] != rid:
+                    break
+                if parts[col_sid] != "unclassified":
+                    classified = True
+                ri += 1
+                matched = True
+            if not matched:
+                continue
+            target = al_f if classified else un_f
+            if target is not None:
+                if isinstance(rec, tuple):
+                    for r in rec:
+                        if r is not None:
+                            write_rec(target, r)
+                else:
+                    write_rec(target, rec)
+
+    from ..utils.metrics import MetricsEmitter
+    met = MetricsEmitter(args.met_file, args.met_stderr, args.met)
+
     if args.engine == "tpu":
-        for chunk in pipe.classify_stream_unpaired(
-                batches(unpaired_src, args.batch_size)):
-            for row in chunk:
-                out.write(row + "\n")
-        if m1:
-            for batch in batches(pairs_iter(m1, m2), args.batch_size):
-                for row in pipe.classify_batch_paired(batch):
+        if un_f is None and al_f is None:
+            # fast path: pipelined host/device streaming
+            for chunk in pipe.classify_stream_unpaired(
+                    batches(unpaired_src, args.batch_size)):
+                for row in chunk:
                     out.write(row + "\n")
+                met.maybe_emit(pipe.metrics)
+        else:
+            for batch in batches(unpaired_src, args.batch_size):
+                rows = pipe.classify_batch_unpaired(batch)
+                for row in rows:
+                    out.write(row + "\n")
+                tee(batch, rows)
+                met.maybe_emit(pipe.metrics)
+        pair_src = list(pairs_iter(m1, m2)) if m1 else []
+        if args.tab12:
+            pair_src += [p for p in tab12_iter(_split(args.tab12))
+                         if p[1] is not None]
+        for batch in batches(iter(pair_src), args.batch_size):
+            rows = pipe.classify_batch_paired(batch)
+            for row in rows:
+                out.write(row + "\n")
+            tee(batch, rows)
+            met.maybe_emit(pipe.metrics)
+        met.close(pipe.metrics)
     else:
         for rec in unpaired_src:
             for row in pipe.classify_unpaired(rec):
@@ -230,6 +344,9 @@ def run(argv: List[str]) -> int:
                 for row in pipe.classify_paired(r1, r2):
                     out.write(row + "\n")
 
+    for f in (un_f, al_f):
+        if f is not None:
+            f.close()
     if out is not sys.stdout:
         out.close()
 

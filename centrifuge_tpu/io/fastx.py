@@ -85,6 +85,87 @@ def _read_fastq(f, first: bytes) -> Iterator[ReadRec]:
         line = f.readline()
 
 
+def read_raw(path: str) -> Iterator[ReadRec]:
+    """One sequence per line, no name/quality (-r; pat.h RawPatternSource).
+    Reads are named by their 0-based ordinal like the reference."""
+    f = sys_stdin() if path == "-" else _open(path)
+    try:
+        for i, line in enumerate(f):
+            seq_bytes = line.strip()
+            if not seq_bytes:
+                continue
+            seq = CODE_LUT[np.frombuffer(seq_bytes, np.uint8)]
+            yield ReadRec(str(i).encode(), seq, b"I" * len(seq))
+    finally:
+        if path != "-":
+            f.close()
+
+
+def read_qseq(path: str) -> Iterator[ReadRec]:
+    """Illumina qseq format (--qseq; read_qseq.cpp): 11 tab fields,
+    name joined from fields 0-6 with '_', seq field 8, qual field 9;
+    '.' means N."""
+    f = sys_stdin() if path == "-" else _open(path)
+    try:
+        for line in f:
+            parts = line.rstrip(b"\r\n").split(b"\t")
+            if len(parts) < 11:
+                continue
+            name = b"_".join(parts[:7])
+            seq_bytes = parts[8].replace(b".", b"N")
+            seq = CODE_LUT[np.frombuffer(seq_bytes, np.uint8)]
+            yield ReadRec(name, seq, parts[9])
+    finally:
+        if path != "-":
+            f.close()
+
+
+def read_tabbed(path: str, paired: bool = False):
+    """Tabbed format (--12): name\\tseq\\tqual (unpaired) or
+    name\\tseq1\\tqual1\\tseq2\\tqual2 (paired); 6-field variant has
+    per-mate names (pat.h TabbedPatternSource)."""
+    f = sys_stdin() if path == "-" else _open(path)
+    try:
+        for line in f:
+            parts = line.rstrip(b"\r\n").split(b"\t")
+            if len(parts) < 3:
+                continue
+            if len(parts) >= 5:
+                if len(parts) >= 6:
+                    n1, s1, q1, n2, s2, q2 = parts[:6]
+                else:
+                    n1, s1, q1, s2, q2 = parts[:5]
+                    n2 = n1
+                r1 = ReadRec(n1, CODE_LUT[np.frombuffer(s1, np.uint8)], q1)
+                r2 = ReadRec(n2, CODE_LUT[np.frombuffer(s2, np.uint8)], q2)
+                yield (r1, r2)
+            else:
+                n1, s1, q1 = parts[:3]
+                rec = ReadRec(n1, CODE_LUT[np.frombuffer(s1, np.uint8)], q1)
+                yield (rec, None) if paired else rec
+    finally:
+        if path != "-":
+            f.close()
+
+
+def read_fasta_continuous(path: str, length: int, freq: int) -> Iterator[ReadRec]:
+    """-F k:<len>,i:<freq>: consecutive length-k windows every i bases
+    (pat.h FastaContinuousPatternSource). Window names are
+    <seqname>_<offset>."""
+    for rec in read_fastx(path):
+        n = len(rec.seq)
+        pos = 0
+        while pos + length <= n:
+            yield ReadRec(rec.name.split()[0] + b"_" + str(pos).encode(),
+                          rec.seq[pos: pos + length], b"I" * length)
+            pos += freq
+
+
+def sys_stdin():
+    import sys
+    return sys.stdin.buffer
+
+
 def read_batch(paths: List[str], limit: Optional[int] = None) -> List[ReadRec]:
     out: List[ReadRec] = []
     for p in paths:

@@ -1,0 +1,94 @@
+"""Interval performance metrics (the reference's --met family).
+
+The reference emits a wide TSV of counters every N seconds
+(PerfMetrics::reportInterval, centrifuge.cpp:1807-2230), merged from
+per-thread structs under a mutex. Here there is one host thread driving
+batched device work, so counters accumulate per batch and the emitter
+fires on the same --met cadence with the same surface
+(--met-file/--met-stderr/--met N). Column set: the counter families we
+track natively (reads/bases/filtered from the outer loop, device search
+dispatches/lane-steps, SA resolutions, reporting counts); the reference's
+thread-level malloc/cache counters have no analog here.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, TextIO
+
+COLUMNS = [
+    "time", "secs", "reads", "bases", "filtered", "unfiltered",
+    "batches", "lanes", "device_dispatches", "resolve_rows",
+    "reads_classified", "reads_unclassified", "assignments",
+    "reads_per_sec",
+]
+
+
+@dataclass
+class PerfMetrics:
+    reads: int = 0
+    bases: int = 0
+    filtered: int = 0
+    batches: int = 0
+    lanes: int = 0
+    device_dispatches: int = 0
+    resolve_rows: int = 0
+    reads_classified: int = 0
+    reads_unclassified: int = 0
+    assignments: int = 0
+
+    def merge(self, other: "PerfMetrics") -> None:
+        for f in self.__dataclass_fields__:
+            setattr(self, f, getattr(self, f) + getattr(other, f))
+
+
+class MetricsEmitter:
+    """Writes the interval TSV to a file and/or stderr."""
+
+    def __init__(self, met_file: Optional[str], met_stderr: bool,
+                 interval_secs: int = 1):
+        self.fh: Optional[TextIO] = open(met_file, "w") if met_file else None
+        self.met_stderr = met_stderr
+        self.interval = interval_secs
+        self.t0 = time.time()
+        self.last_emit = self.t0
+        self.header_written = False
+
+    @property
+    def active(self) -> bool:
+        return self.fh is not None or self.met_stderr
+
+    def _write(self, line: str) -> None:
+        if self.fh is not None:
+            self.fh.write(line + "\n")
+            self.fh.flush()
+        if self.met_stderr:
+            import sys
+            print(line, file=sys.stderr)
+
+    def maybe_emit(self, m: PerfMetrics, force: bool = False) -> None:
+        if not self.active:
+            return
+        now = time.time()
+        if not force and now - self.last_emit < self.interval:
+            return
+        self.last_emit = now
+        if not self.header_written:
+            self._write("\t".join(COLUMNS))
+            self.header_written = True
+        secs = now - self.t0
+        vals = [time.strftime("%H:%M:%S"), f"{secs:.1f}",
+                str(m.reads), str(m.bases), str(m.filtered),
+                str(m.reads - m.filtered), str(m.batches), str(m.lanes),
+                str(m.device_dispatches), str(m.resolve_rows),
+                str(m.reads_classified), str(m.reads_unclassified),
+                str(m.assignments), f"{m.reads / max(secs, 1e-9):.1f}"]
+        self._write("\t".join(vals))
+
+    def close(self, m: PerfMetrics) -> None:
+        if self.active:
+            self.maybe_emit(m, force=True)
+        if self.fh is not None:
+            self.fh.close()
+            self.fh = None

@@ -160,3 +160,64 @@ def test_promote_cli(tmp_path):
     for line in lines[1:]:
         tid = int(line.split("\t")[2])
         assert tid < 1000 or tid == 0 or tid == 1 or tid >= 10
+
+
+def test_classify_sam_and_formats(tmp_path):
+    fx = fixture_path("synth")
+    out = tmp_path / "out.sam.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-U", os.path.join(fx, "reads.fq"), "-u", "5",
+                 "-S", str(out), "--report-file", "", "--out-fmt", "sam"])
+    assert r.returncode == 0, r.stderr
+    lines = out.read_text().splitlines()
+    assert lines[0].split("\t") == ["QNAME", "FLAG", "RNAME", "POS", "MAPQ",
+                                    "CIGAR", "RNEXT", "PNEXT", "TLEN", "SEQ",
+                                    "QUAL"]
+    parts = lines[1].split("\t")
+    assert parts[1] == "0" and parts[5] == "*"
+    assert set(parts[9]) <= set("ACGTN")
+
+    # raw one-per-line input
+    raw = tmp_path / "reads.raw"
+    raw.write_text("ACGTACGTACGTACGTACGTACGTACGTACGT\n")
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-U", str(raw), "-r", "-S", "-", "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.count("\n") == 2  # header + 1 read
+
+    # --un teeing: junk reads must land in the un file
+    un = tmp_path / "un.fq"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-U", os.path.join(fx, "reads.fq"), "-u", "200",
+                 "-S", str(tmp_path / "o.tsv"), "--report-file", "",
+                 "--un", str(un)])
+    assert r.returncode == 0, r.stderr
+    un_text = un.read_text()
+    assert un_text.count("@") >= 1  # some junk reads in first 200
+    assert "junk_" in un_text
+
+
+def test_classify_cmdline_reads():
+    fx = fixture_path("synth")
+    db = open(os.path.join(fx, "db.fa")).read().splitlines()
+    frag = db[1][:40]  # 40bp of seq0 -> classifies to taxID 1000
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"), "-c",
+                 "-S", "-", "--report-file", "", frag])
+    assert r.returncode == 0, r.stderr
+    rows = r.stdout.splitlines()
+    assert len(rows) == 2
+    assert rows[1].split("\t")[2] == "1000"
+
+
+def test_classify_metrics_emission(tmp_path):
+    fx = fixture_path("synth")
+    met = tmp_path / "met.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-U", os.path.join(fx, "reads.fq"), "-u", "100",
+                 "-S", str(tmp_path / "o.tsv"), "--report-file", "",
+                 "--met-file", str(met), "--met", "1"])
+    assert r.returncode == 0, r.stderr
+    lines = met.read_text().splitlines()
+    assert lines[0].startswith("time\tsecs\treads")
+    last = lines[-1].split("\t")
+    assert int(last[2]) == 100  # reads counter
