@@ -109,6 +109,9 @@ class PipelineConfig:
     # reference always computes them but never prints them
     # (centrifuge.cpp:3296-3298 is if(false)'d), so default off for speed
     count_kmers: bool = False
+    # native C++ assignment engine (classify/native); falls back to the
+    # Python path automatically if the extension cannot build
+    use_native: bool = True
 
 
 def n_filter(seq: np.ndarray, n_ceil_const: float, n_ceil_coef: float) -> bool:

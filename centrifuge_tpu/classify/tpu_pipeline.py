@@ -66,6 +66,14 @@ class TPUClassificationPipeline:
         self.spm = SpeciesMetrics()
         from ..utils.metrics import PerfMetrics
         self.metrics = PerfMetrics()
+        self.native = None
+        if self.cfg.use_native:
+            try:
+                from ..native.engine import NativeAssigner
+                self.native = NativeAssigner(idx, self.cfg.classifier,
+                                             self.classifier)
+            except Exception:
+                self.native = None
 
     # ---- batched units ----
 
@@ -96,6 +104,9 @@ class TPUClassificationPipeline:
         units = [[(r.seq, r.revcomp())] for r in recs]
         passes = [n_filter(r.seq, self.cfg.n_ceil_const, self.cfg.n_ceil_coef)
                   and len(r.seq) >= self.cfg.min_read_len for r in recs]
+        if self.native is not None:
+            fut = self._dispatch_units(units, passes)
+            return self._finish_batch(recs, passes, units, fut)
         results = self._classify_units(units, passes, paired=False)
         return self._emit_rows(recs, passes, results)
 
@@ -135,10 +146,44 @@ class TPUClassificationPipeline:
 
     def _finish_batch(self, recs, passes, units, fut) -> List[str]:
         lane_seqs, lane_map, handle = fut
+        if self.native is not None and lane_seqs:
+            arrays = self.engine.search_collect(handle, len(lane_seqs))
+            seeds = np.array(
+                [gen_read_seed(r.seq, r.qual, r.name, self.cfg.seed)
+                 for r in recs], dtype=np.uint32)
+            per_unit, secbest = self.native.process(
+                arrays, lane_map, lane_seqs, units,
+                [False] * len(units), seeds, self.engine, self.resolver,
+                self.metrics)
+            return self._emit_rows_preselected(recs, passes, per_unit,
+                                               secbest)
         results = self._classify_units(
             units, passes, paired=False,
             prefetched=(lane_seqs, lane_map, handle))
         return self._emit_rows(recs, passes, results)
+
+    def _emit_rows_preselected(self, recs, passes, per_unit,
+                               secbest) -> List[str]:
+        """Emit rows when selection already happened (native engine)."""
+        rows: List[str] = []
+        m = self.metrics
+        for ui, (rec, ok) in enumerate(zip(recs, passes)):
+            chosen = per_unit[ui] if ok else []
+            sb = secbest[ui] if ok else 0
+            m.reads += 1
+            m.bases += len(rec.seq)
+            if not ok:
+                m.filtered += 1
+            if chosen:
+                m.reads_classified += 1
+                m.assignments += len(chosen)
+            else:
+                m.reads_unclassified += 1
+            rows.extend(self.formatter.rows_for_read(
+                rec.name, len(rec.seq), chosen, sb, self.spm,
+                unclassified=not chosen, reads=(rec,)))
+        m.batches += 1
+        return rows
 
     def classify_batch_paired(self, pairs: Sequence[Tuple[ReadRec, ReadRec]]
                               ) -> List[str]:
@@ -163,7 +208,48 @@ class TPUClassificationPipeline:
             else:
                 units.append([])
                 paired_flags.append(False)
-        results = self._classify_units(units, [bool(u) for u in units],
+        active = [bool(u) for u in units]
+        if self.native is not None and any(active):
+            fut = self._dispatch_units(units, active)
+            lane_seqs, lane_map, handle = fut
+            arrays = self.engine.search_collect(handle, len(lane_seqs))
+            seeds = np.zeros(len(units), dtype=np.uint32)
+            for ui, ((r1, r2), (p1, p2)) in enumerate(zip(pairs, passes)):
+                if p1 and p2:
+                    seeds[ui] = (gen_read_seed(r1.seq, r1.qual, r1.name,
+                                               self.cfg.seed)
+                                 ^ gen_read_seed(r2.seq, r2.qual, r2.name,
+                                                 self.cfg.seed))
+                elif p1:
+                    seeds[ui] = gen_read_seed(r1.seq, r1.qual, r1.name,
+                                              self.cfg.seed)
+                elif p2:
+                    seeds[ui] = gen_read_seed(r2.seq, r2.qual, r2.name,
+                                              self.cfg.seed)
+            per_unit, secbest = self.native.process(
+                arrays, lane_map, lane_seqs, units, paired_flags, seeds,
+                self.engine, self.resolver, self.metrics)
+            rows: List[str] = []
+            m = self.metrics
+            for ui, ((r1, r2), (p1, p2)) in enumerate(zip(pairs, passes)):
+                qlen = len(r1.seq) + len(r2.seq)
+                chosen = per_unit[ui] if (p1 or p2) else []
+                sb = secbest[ui] if (p1 or p2) else 0
+                m.reads += 1
+                m.bases += qlen
+                if not (p1 or p2):
+                    m.filtered += 1
+                if chosen:
+                    m.reads_classified += 1
+                    m.assignments += len(chosen)
+                else:
+                    m.reads_unclassified += 1
+                rows.extend(self.formatter.rows_for_read(
+                    r1.name, qlen, chosen, sb, self.spm,
+                    unclassified=not chosen, reads=(r1, r2)))
+            m.batches += 1
+            return rows
+        results = self._classify_units(units, active,
                                        paired=None, paired_flags=paired_flags)
         rows: List[str] = []
         m = self.metrics

@@ -1,0 +1,240 @@
+"""ctypes wrapper for the native assignment engine (assign.cpp).
+
+Compiled on first use (g++ -O2 -shared). The Python implementation in
+classify/algo.py remains the oracle; tests run both and compare.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+import tempfile
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB = None
+_LIB_FAILED = False
+
+MAX_POS = 64
+
+i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def load_native():
+    global _LIB, _LIB_FAILED
+    if _LIB is not None or _LIB_FAILED:
+        return _LIB
+    so_path = os.path.join(_HERE, "_assign.so")
+    src = os.path.join(_HERE, "assign.cpp")
+    try:
+        if (not os.path.exists(so_path)
+                or os.path.getmtime(so_path) < os.path.getmtime(src)):
+            with tempfile.TemporaryDirectory() as td:
+                tmp = os.path.join(td, "_assign.so")
+                subprocess.run(["g++", "-O2", "-shared", "-fPIC", src,
+                                "-o", tmp], check=True, capture_output=True)
+                os.replace(tmp, so_path)
+        lib = C.CDLL(so_path)
+        lib.ctx_create.restype = C.c_void_p
+        lib.ctx_create.argtypes = [
+            u64p, C.c_int64, u64p, u64p, C.c_int64,
+            u64p, u64p, u16p, u8p, C.c_int64,
+            u64p, C.c_int64, u64p, C.c_int64,
+            C.c_int64, C.c_int64, C.c_int64, C.c_int64, C.c_int64]
+        lib.ctx_free.argtypes = [C.c_void_p]
+        lib.batch_begin.restype = C.c_void_p
+        lib.batch_begin.argtypes = [
+            C.c_void_p, i32p, i32p, i32p, i32p, i32p, i32p,
+            C.c_int64, C.c_int64, i32p, i32p, i32p,
+            C.c_int64, i32p, i32p, u8p, u32p]
+        lib.batch_free.argtypes = [C.c_void_p]
+        lib.batch_extension_misses.restype = C.c_int64
+        lib.batch_extension_misses.argtypes = [
+            C.c_void_p, i32p, i32p, i32p, i32p, C.c_int64]
+        lib.batch_extension_feed.argtypes = [
+            C.c_void_p, C.c_int64, i32p, i32p, i32p, i32p]
+        lib.batch_resolve_requests.restype = C.c_int64
+        lib.batch_resolve_requests.argtypes = [C.c_void_p, u64p, u64p,
+                                               C.c_int64]
+        lib.batch_set_resolutions.argtypes = [C.c_void_p, i32p, C.c_int64]
+        lib.batch_finalize.restype = C.c_int64
+        lib.batch_finalize.argtypes = [
+            C.c_void_p, i32p, i64p, i64p, u64p, i32p, i64p, f64p,
+            u8p, u8p, i32p, u32p, i64p, C.c_int64]
+        _LIB = lib
+    except Exception:
+        _LIB_FAILED = True
+    return _LIB
+
+
+class NativeAssigner:
+    """Owns a taxonomy/config context; processes search-result batches."""
+
+    def __init__(self, idx, cfg, classifier):
+        lib = load_native()
+        if lib is None:
+            raise RuntimeError("native assign engine unavailable")
+        self.lib = lib
+        self.idx = idx
+        self.cfg = cfg
+        tax = idx.taxonomy
+
+        uid_tids = np.array([t for _, t in idx.uid_to_tid], dtype=np.uint64)
+        path_items = sorted(tax.paths.items())
+        path_tids = np.array([t for t, _ in path_items], dtype=np.uint64)
+        paths10 = np.zeros((len(path_items), 10), dtype=np.uint64)
+        for i, (_, p) in enumerate(path_items):
+            paths10[i, : len(p)] = p
+        tree_items = sorted(tax.tree.items())
+        tree_tids = np.array([t for t, _ in tree_items], dtype=np.uint64)
+        tree_parents = np.array([n.parent for _, n in tree_items],
+                                dtype=np.uint64)
+        tree_ranks = np.array([n.rank for _, n in tree_items],
+                              dtype=np.uint16)
+        tree_leaf = np.array([1 if n.leaf else 0 for _, n in tree_items],
+                             dtype=np.uint8)
+        host = np.array(sorted(classifier.host_set), dtype=np.uint64)
+        excl = np.array(sorted(classifier.exclude_set), dtype=np.uint64)
+
+        self._keepalive = (uid_tids, path_tids, paths10, tree_tids,
+                           tree_parents, tree_ranks, tree_leaf, host, excl)
+        self.ctx = lib.ctx_create(
+            uid_tids, len(uid_tids),
+            path_tids, paths10.reshape(-1), len(path_items),
+            tree_tids, tree_parents, tree_ranks, tree_leaf, len(tree_items),
+            host, len(host), excl, len(excl),
+            cfg.khits, cfg.min_hitlen, classifier.ihits,
+            classifier.class_rank_slot, 1 if cfg.tree_traverse else 0)
+
+    def __del__(self):
+        if getattr(self, "ctx", None):
+            self.lib.ctx_free(self.ctx)
+            self.ctx = None
+
+    def process(self, arrays, lane_map, lane_seqs, units, paired_flags,
+                seeds, engine, resolver, metrics=None):
+        """Run the full host assignment for one batch.
+
+        arrays: the 6 per-lane search outputs; lane_map: (unit, mate,
+        strand) per lane; units: per unit list of (fw, rc) mate arrays;
+        seeds: uint32 per unit. Returns (results_per_unit, secbest_per_unit)
+        where each result is a tuple matching AlnResult fields.
+        """
+        lib = self.lib
+        h_top, h_bot, h_off, h_len, nhits, sums = [
+            np.ascontiguousarray(a, dtype=np.int32) for a in arrays]
+        L = h_top.shape[0]
+        mh = h_top.shape[1]
+        lane_unit = np.array([u for u, _, _ in lane_map], dtype=np.int32)
+        lane_mate = np.array([m for _, m, _ in lane_map], dtype=np.int32)
+        lane_strand = np.array([s for _, _, s in lane_map], dtype=np.int32)
+        n_units = len(units)
+        n_mates = np.array([len(u) for u in units], dtype=np.int32)
+        mate_len = np.zeros((n_units, 2), dtype=np.int32)
+        for ui, unit in enumerate(units):
+            for mi, (fw, _) in enumerate(unit):
+                mate_len[ui, mi] = len(fw)
+        paired = np.array([1 if p else 0 for p in paired_flags],
+                          dtype=np.uint8)
+        seeds = np.ascontiguousarray(seeds, dtype=np.uint32)
+
+        bh = lib.batch_begin(self.ctx, h_top.reshape(-1), h_bot.reshape(-1),
+                             h_off.reshape(-1), h_len.reshape(-1),
+                             nhits, sums, L, mh,
+                             lane_unit, lane_mate, lane_strand,
+                             n_units, n_mates, mate_len.reshape(-1),
+                             paired, seeds)
+        try:
+            # extension fixpoint
+            cap = 65536
+            mu = np.zeros(cap, np.int32)
+            mm = np.zeros(cap, np.int32)
+            ms_ = np.zeros(cap, np.int32)
+            mo = np.zeros(cap, np.int32)
+            for _ in range(64):
+                n = lib.batch_extension_misses(bh, mu, mm, ms_, mo, cap)
+                if n == 0:
+                    break
+                seqs = [units[mu[i]][mm[i]][ms_[i]] for i in range(n)]
+                res = engine.search_first_hits(seqs, mo[:n])
+                lib.batch_extension_feed(
+                    bh, n,
+                    np.ascontiguousarray(res[0][:, 0], np.int32),
+                    np.ascontiguousarray(res[1][:, 0], np.int32),
+                    np.ascontiguousarray(res[2][:, 0], np.int32),
+                    np.ascontiguousarray(res[3][:, 0], np.int32))
+            else:
+                raise RuntimeError("extension fixpoint did not converge")
+
+            # resolution
+            rcap = 1 << 20
+            tops = np.zeros(rcap, np.uint64)
+            nelts = np.zeros(rcap, np.uint64)
+            nreq = lib.batch_resolve_requests(bh, tops, nelts, rcap)
+            if nreq > rcap:
+                raise RuntimeError("resolve request buffer too small")
+            values = np.zeros(0, np.int32)
+            if nreq > 0:
+                rows = np.concatenate([
+                    np.arange(int(t), int(t) + int(ne), dtype=np.int64)
+                    for t, ne in zip(tops[:nreq], nelts[:nreq])]
+                ).astype(np.int32)
+                if metrics is not None:
+                    metrics.resolve_rows += rows.shape[0]
+                from ..classify.engine import _bucket
+                padded = np.zeros(_bucket(rows.shape[0]), np.int32)
+                padded[: rows.shape[0]] = rows
+                values = np.ascontiguousarray(
+                    np.asarray(resolver(padded))[: rows.shape[0]], np.int32)
+            lib.batch_set_resolutions(bh, values, len(values))
+
+            # finalize
+            cap_res = n_units * max(self.cfg.khits, 5) + 8
+            r_unit = np.zeros(cap_res, np.int32)
+            r_score = np.zeros(cap_res, np.int64)
+            r_maxs = np.zeros(cap_res, np.int64)
+            r_tid = np.zeros(cap_res, np.uint64)
+            r_rank = np.zeros(cap_res, np.int32)
+            r_uidx = np.zeros(cap_res, np.int64)
+            r_slen = np.zeros(cap_res, np.float64)
+            r_isfw = np.zeros(cap_res, np.uint8)
+            r_leaf = np.zeros(cap_res, np.uint8)
+            r_npos = np.zeros(cap_res, np.int32)
+            r_pos = np.zeros(cap_res * MAX_POS * 2, np.uint32)
+            secbest = np.zeros(n_units, np.int64)
+            nres = lib.batch_finalize(bh, r_unit, r_score, r_maxs, r_tid,
+                                      r_rank, r_uidx, r_slen, r_isfw,
+                                      r_leaf, r_npos, r_pos, secbest,
+                                      cap_res)
+            if nres < 0:
+                raise RuntimeError("native result buffer too small")
+        finally:
+            lib.batch_free(bh)
+
+        from ..classify.algo import AlnResult
+        from ..index.taxonomy import rank_string
+        per_unit: List[List[AlnResult]] = [[] for _ in range(n_units)]
+        for i in range(nres):
+            ui = int(r_unit[i])
+            uidx = int(r_uidx[i])
+            uid = (self.idx.uid_to_tid[uidx][0] if uidx >= 0
+                   else rank_string(int(r_rank[i])))
+            np_ = int(r_npos[i])
+            pos = [(int(r_pos[(i * MAX_POS + p) * 2]),
+                    int(r_pos[(i * MAX_POS + p) * 2 + 1]))
+                   for p in range(np_)]
+            per_unit[ui].append(AlnResult(
+                score=int(r_score[i]), max_score=int(r_maxs[i]), uid=uid,
+                tax_id=int(r_tid[i]), tax_rank=int(r_rank[i]),
+                summed_len=float(r_slen[i]), read_positions=pos,
+                is_fw=bool(r_isfw[i]), is_leaf=bool(r_leaf[i])))
+        return per_unit, [int(s) for s in secbest]
