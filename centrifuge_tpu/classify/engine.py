@@ -71,13 +71,18 @@ def _precompute_windows(rseq: jax.Array, ftab_chars: int):
 
 def search_loop(kern: FMKernels, rseq, lengths, start_cur,
                 min_hitlen: int, increment: int, max_hits: int,
-                first_hit_only: bool):
+                first_hit_only: bool, unroll: int = 4):
     """Run the full per-strand greedy scan for every lane.
 
     rseq: (L, Lmax + fc) int32 reversed+padded reads.
     lengths: (L,) int32; start_cur: (L,) int32 initial cursors.
     Returns (hit_top, hit_bot, hit_bwoff, hit_len, nhits, sums): hits in
     emission order; empty pseudo-hits have top == bot == -1.
+
+    The loop body is a pure per-lane state transition that is a no-op on
+    done lanes, so unrolling it `unroll` times per while_loop iteration
+    preserves semantics exactly while amortizing the per-iteration
+    dispatch overhead (the scan runs hundreds of tiny steps otherwise).
     """
     fc = 10  # ftab_chars; geometry fixed by the index format default
     L = rseq.shape[0]
@@ -106,7 +111,7 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
     def cond(s):
         return jnp.any(~s["done"])
 
-    def body(s):
+    def step(s):
         cur, done, mode = s["cur"], s["done"], s["mode"]
         n = lengths
         active = ~done
@@ -189,6 +194,11 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
                     offset=new_offset, dep=new_dep, top=new_top,
                     bot=new_bot, nhits=nhits, sums=sums,
                     h_top=h_top, h_bot=h_bot, h_off=h_off, h_len=h_len)
+
+    def body(s):
+        for _ in range(unroll):
+            s = step(s)
+        return s
 
     out = jax.lax.while_loop(cond, body, state)
     return (out["h_top"], out["h_bot"], out["h_off"], out["h_len"],
@@ -345,13 +355,24 @@ class BatchSearchEngine:
             out = wide
         return out
 
+    FIRST_HITS_CHUNK = 2048
+
     def search_first_hits(self, seqs: List[np.ndarray], offsets: np.ndarray):
-        """One partialSearch per lane from the given offsets (extension pass)."""
+        """One partialSearch per lane from the given offsets (extension pass).
+
+        Lanes run in fixed-size chunks so the kernel compiles for exactly
+        one shape regardless of how many extension misses a batch has."""
         L = len(seqs)
         lmax = _bucket(max((len(s) for s in seqs), default=1), lo=32)
-        nlanes = _bucket(L, lo=32)
-        rseq, lengths = self.pack(seqs, lmax, nlanes)
-        start = np.zeros(nlanes, dtype=np.int32)
-        start[:L] = offsets.astype(np.int32)
-        out = self._run(rseq, lengths, start, 1, True)
-        return [a[:L] for a in out]
+        chunk = self.FIRST_HITS_CHUNK
+        outs = []
+        for c0 in range(0, L, chunk):
+            part = seqs[c0: c0 + chunk]
+            rseq, lengths = self.pack(part, lmax, chunk)
+            start = np.zeros(chunk, dtype=np.int32)
+            start[: len(part)] = offsets[c0: c0 + chunk].astype(np.int32)
+            out = self._run(rseq, lengths, start, 1, True)
+            outs.append([a[: len(part)] for a in out])
+        if len(outs) == 1:
+            return outs[0]
+        return [np.concatenate([o[k] for o in outs]) for k in range(6)]

@@ -92,6 +92,13 @@ def make_parser() -> argparse.ArgumentParser:
                    help="Accepted for compatibility")
     p.add_argument("--reorder", action="store_true",
                    help="Accepted for compatibility (output always ordered)")
+    p.add_argument("--sample-sheet", metavar="<file>",
+                   help="5-column TSV: type(1=single,2=paired), read1, "
+                   "read2, classification-out, report-out; one sample per "
+                   "line, each classified separately")
+    p.add_argument("--file-parallel", action="store_true",
+                   help="Accepted for compatibility (samples stream "
+                   "through one device pipeline)")
     p.add_argument("--met-file", metavar="<path>",
                    help="Write interval metrics TSV to <path>")
     p.add_argument("--met-stderr", action="store_true",
@@ -164,6 +171,9 @@ def run(argv: List[str]) -> int:
     else:
         from ..ops.fm_numpy import FMOracle
         pipe = ClassificationPipeline(idx, FMOracle(idx), cfg)
+
+    if args.sample_sheet:
+        return _run_sample_sheet(args, pipe)
 
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     out.write(pipe.formatter.header() + "\n")
@@ -367,6 +377,56 @@ def run(argv: List[str]) -> int:
         el = time.time() - t_start
         print(f"Overall time: {el:.2f}s ({nread} reads, "
               f"{nread/max(el,1e-9):.0f} reads/s)", file=sys.stderr)
+    return 0
+
+
+def _run_sample_sheet(args, pipe) -> int:
+    """Per-sample classification (the Perl wrapper's --sample-sheet,
+    centrifuge:248-330): each line gets its own output + report files and
+    independent species metrics; the index stays resident."""
+    from ..classify.pipeline import SpeciesMetrics
+    from ..io.fastx import read_fastx
+    from ..report.writers import write_report
+
+    with open(args.sample_sheet) as f:
+        samples = [line.rstrip("\n").split("\t") for line in f
+                   if line.strip()]
+    for cols in samples:
+        if len(cols) != 5:
+            print(f"Bad sample sheet line: {cols}", file=sys.stderr)
+            return 1
+
+    for cols in samples:
+        stype, r1, r2, out_path, report_path = cols
+        pipe.spm = SpeciesMetrics()
+        with open(out_path, "w") as out:
+            out.write(pipe.formatter.header() + "\n")
+            if stype == "2":
+                it1, it2 = read_fastx(r1), read_fastx(r2)
+                pairs = []
+                for a in it1:
+                    b = next(it2, None)
+                    if b is None:
+                        break
+                    pairs.append((_trim(a, args.trim5, args.trim3),
+                                  _trim(b, args.trim5, args.trim3)))
+                for i in range(0, len(pairs), args.batch_size):
+                    for row in pipe.classify_batch_paired(
+                            pairs[i: i + args.batch_size]):
+                        out.write(row + "\n")
+            else:
+                recs = [_trim(r, args.trim5, args.trim3)
+                        for r in read_fastx(r1)]
+                for chunk in pipe.classify_stream_unpaired(
+                        recs[i: i + args.batch_size]
+                        for i in range(0, len(recs), args.batch_size)):
+                    for row in chunk:
+                        out.write(row + "\n")
+        if report_path:
+            print(f"report file {report_path}", file=sys.stderr)
+            write_report(report_path, pipe.idx, pipe.spm,
+                         abundance_analysis=not args.no_abundance,
+                         verbose_stderr=True)
     return 0
 
 

@@ -221,3 +221,22 @@ def test_classify_metrics_emission(tmp_path):
     assert lines[0].startswith("time\tsecs\treads")
     last = lines[-1].split("\t")
     assert int(last[2]) == 100  # reads counter
+
+
+def test_sample_sheet(tmp_path):
+    fx = fixture_path("synth")
+    sheet = tmp_path / "sheet.tsv"
+    o1, r1 = tmp_path / "s1.tsv", tmp_path / "s1_rep.tsv"
+    o2, r2 = tmp_path / "s2.tsv", tmp_path / "s2_rep.tsv"
+    sheet.write_text(
+        f"1\t{os.path.join(fx, 'reads.fq')}\t\t{o1}\t{r1}\n"
+        f"2\t{os.path.join(fx, 'reads_1.fq')}\t{os.path.join(fx, 'reads_2.fq')}\t{o2}\t{r2}\n")
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "--sample-sheet", str(sheet)])
+    assert r.returncode == 0, r.stderr
+    # sample 1 output == golden unpaired; sample 2 == golden paired
+    assert o1.read_text() == open(os.path.join(fx, "golden_output.tsv")).read()
+    assert o2.read_text() == open(os.path.join(fx, "golden_paired.tsv")).read()
+    assert r1.read_text() == open(os.path.join(fx, "golden_report.tsv")).read()
+    assert r2.read_text() == open(
+        os.path.join(fx, "golden_paired_report.tsv")).read()
