@@ -35,15 +35,21 @@ NEG = jnp.int32(-1)
 
 @dataclass
 class FMKernels:
-    """The four device primitives the search loop needs.
+    """The device primitives the search loop needs.
 
-    ftab_lookup: int32[B] packed-window ids -> (top[B], bot[B])
-    lf:          (rows[B], chars[B]) -> LF(row, c)
-    bwt_char:    rows[B] -> BWT[row] code
+    ftab_lookup: int32[B] packed-window ids -> (top[B], bot[B]);
+                 ONE gather over the stacked (n, 2) table.
+    lf_pair:     (rows_t[B], rows_b[B], chars[B]) ->
+                 (LF(top,c)[B], LF(bot,c)[B], BWT[top][B]);
+                 ONE gather over the concatenated 2B rows -- each
+                 gather op costs ~fixed latency on TPU, so merging the
+                 top/bot/char lookups halves the per-step op count.
+    lf/bwt_char: single-row variants (used by the resolver path).
     zoff:        the '$' row (traced scalar ok)
     """
 
     ftab_lookup: Callable
+    lf_pair: Callable
     lf: Callable
     bwt_char: Callable
     zoff: jnp.ndarray
@@ -85,12 +91,17 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
     dispatch overhead (the scan runs hundreds of tiny steps otherwise).
     """
     fc = 10  # ftab_chars; geometry fixed by the index format default
-    L = rseq.shape[0]
+    L, P = rseq.shape
     fi_tab, firstn_tab = _precompute_windows(rseq, fc)
+    # pack [char, fi, firstn] per position into one (L, P, 3) table so a
+    # step reads ONE gathered (L, 3) row instead of three separate
+    # gathers (fi/firstn padded on the right; those positions are only
+    # reachable by extending lanes, which use just the char column)
+    pad = jnp.zeros((L, fc), jnp.int32)
+    rtab = jnp.stack([rseq,
+                      jnp.concatenate([fi_tab, pad], axis=1),
+                      jnp.concatenate([firstn_tab, pad], axis=1)], axis=2)
     lanes = jnp.arange(L, dtype=jnp.int32)
-
-    def gather_pos(tab, pos):
-        return tab[lanes, jnp.clip(pos, 0, tab.shape[1] - 1)]
 
     state = dict(
         cur=start_cur,
@@ -102,10 +113,9 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         bot=jnp.zeros(L, jnp.int32),
         nhits=jnp.zeros(L, jnp.int32),
         sums=jnp.zeros(L, jnp.int32),
-        h_top=jnp.full((L, max_hits), -1, jnp.int32),
-        h_bot=jnp.full((L, max_hits), -1, jnp.int32),
-        h_off=jnp.zeros((L, max_hits), jnp.int32),
-        h_len=jnp.zeros((L, max_hits), jnp.int32),
+        # [top, bot, off, len] per hit slot; single scatter per step
+        h_all=jnp.tile(jnp.array([-1, -1, 0, 0], jnp.int32),
+                       (L, max_hits, 1)),
     )
 
     def cond(s):
@@ -118,12 +128,19 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         starting = active & (mode == 0)
         extending = active & (mode == 1)
 
+        # one positional gather: starters read [fi, firstn] at cur,
+        # extenders read the char at dep
+        dep, top, bot = s["dep"], s["top"], s["bot"]
+        pos = jnp.where(starting, cur, dep)
+        row3 = rtab[lanes, jnp.clip(pos, 0, P - 1)]        # (L, 3)
+        c = row3[:, 0]
+        fi = jnp.clip(row3[:, 1], 0, kern.num_ftab - 1)
+        fN = row3[:, 2]
+
         # ---------------- start phase ----------------
         left = n - cur
         case_a = starting & (left < fc)
-        fN = gather_pos(firstn_tab, cur)
         case_b = starting & ~case_a & (fN < fc)
-        fi = jnp.clip(gather_pos(fi_tab, cur), 0, kern.num_ftab - 1)
         ftop, fbot = kern.ftab_lookup(fi)
         case_c_empty = starting & ~case_a & ~case_b & (fbot <= ftop)
         case_c_go = starting & ~case_a & ~case_b & (fbot > ftop)
@@ -133,17 +150,14 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         start_emit = case_a | case_b | case_c_empty
 
         # ---------------- extend phase ----------------
-        dep, top, bot = s["dep"], s["top"], s["bot"]
         at_end = extending & (dep >= n)
         stepping = extending & (dep < n)
-        c = gather_pos(rseq, dep)
         cq = jnp.clip(c, 0, 3)
         rows_t = jnp.where(stepping, top, 0)
         rows_b = jnp.where(stepping, bot, 0)
-        t2 = kern.lf(rows_t, cq)
-        topchar = kern.bwt_char(rows_t)
+        t2, b2_full, topchar = kern.lf_pair(rows_t, rows_b, cq)
         single = (bot - top) == 1
-        b2 = jnp.where(single, t2 + 1, kern.lf(rows_b, cq))
+        b2 = jnp.where(single, t2 + 1, b2_full)
         fail = stepping & (
             (c > 3)
             | (single & ((topchar != cq) | (top == kern.zoff)))
@@ -160,12 +174,10 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         e_len = e_cur - e_off
 
         slot = jnp.clip(s["nhits"], 0, max_hits - 1)
-        def wr(buf, val):
-            return buf.at[lanes, slot].set(jnp.where(emit, val, buf[lanes, slot]))
-        h_top = wr(s["h_top"], e_top)
-        h_bot = wr(s["h_bot"], e_bot)
-        h_off = wr(s["h_off"], e_off)
-        h_len = wr(s["h_len"], e_len)
+        rec = jnp.stack([e_top, e_bot, e_off, e_len], axis=1)   # (L, 4)
+        old = s["h_all"][lanes, slot]
+        h_all = s["h_all"].at[lanes, slot].set(
+            jnp.where(emit[:, None], rec, old))
         nhits = s["nhits"] + emit.astype(jnp.int32)
         sums = s["sums"] + jnp.where(emit & (e_len >= min_hitlen), e_len, 0)
 
@@ -192,8 +204,7 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
 
         return dict(cur=new_cur, done=new_done, mode=new_mode,
                     offset=new_offset, dep=new_dep, top=new_top,
-                    bot=new_bot, nhits=nhits, sums=sums,
-                    h_top=h_top, h_bot=h_bot, h_off=h_off, h_len=h_len)
+                    bot=new_bot, nhits=nhits, sums=sums, h_all=h_all)
 
     def body(s):
         for _ in range(unroll):
@@ -201,36 +212,58 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         return s
 
     out = jax.lax.while_loop(cond, body, state)
-    return (out["h_top"], out["h_bot"], out["h_off"], out["h_len"],
+    h = out["h_all"]
+    return (h[:, :, 0], h[:, :, 1], h[:, :, 2], h[:, :, 3],
             out["nhits"], out["sums"])
 
 
-def direct_kernels(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff) -> FMKernels:
+def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff) -> FMKernels:
     """Single-device kernel set: plain gathers into replicated arrays."""
+    from ..ops.fm_jax import WORDS_PER_BLOCK, rank_in_block
+
+    def ftab_lookup(fi):
+        tb = fm_ftab_tb[fi]                    # (B, 2): one gather
+        return tb[:, 0], tb[:, 1]
+
+    def lf_pair(rows_t, rows_b, chars):
+        B = rows_t.shape[0]
+        rows = jnp.concatenate([rows_t, rows_b])
+        ch2 = jnp.concatenate([chars, chars])
+        blk = rows >> 9
+        within = rows & 511
+        data = fm_blocks[blk]                  # (2B, 36): one gather
+        r = rank_in_block(data, within, ch2, zoff, rows)
+        lf = fm_fchr[ch2] + r
+        word = data[jnp.arange(B), 4 + (within[:B] >> 4)]
+        topchar = ((word >> (2 * (within[:B] & 15).astype(jnp.uint32))) & 3
+                   ).astype(jnp.int32)
+        return lf[:B], lf[B:], topchar
+
     return FMKernels(
-        ftab_lookup=lambda fi: (fm_ftab_top[fi], fm_ftab_bot[fi]),
+        ftab_lookup=ftab_lookup,
+        lf_pair=lf_pair,
         lf=lambda rows, chars: lf_kernel(fm_blocks, fm_fchr, zoff, rows, chars),
         bwt_char=lambda rows: bwt_char_kernel(fm_blocks, rows),
         zoff=zoff,
-        num_ftab=fm_ftab_top.shape[0],
+        num_ftab=fm_ftab_tb.shape[0],
     )
 
 
 @functools.partial(jax.jit, static_argnames=("min_hitlen", "increment",
                                              "max_hits", "first_hit_only"))
-def batched_search(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff,
+def batched_search(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                    rseq, lengths, start_cur,
                    min_hitlen: int, increment: int, max_hits: int,
                    first_hit_only: bool):
     """Single-chip full scan over all lanes (see search_loop)."""
-    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff)
+    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff)
     return search_loop(kern, rseq, lengths, start_cur, min_hitlen,
                        increment, max_hits, first_hit_only)
 
 
 @functools.partial(jax.jit, static_argnames=("min_hitlen", "increment",
                                              "max_hits", "first_hit_only"))
-def batched_search_packed(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff,
+def batched_search_packed(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                           rseq, lengths, start_cur,
                           min_hitlen: int, increment: int, max_hits: int,
                           first_hit_only: bool):
@@ -238,7 +271,7 @@ def batched_search_packed(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff,
     int32 array on device: [h_top | h_bot | h_off | h_len | nhits | sums].
     A single device->host transfer matters when the device sits behind a
     network tunnel with per-fetch latency."""
-    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_top, fm_ftab_bot, zoff)
+    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff)
     h_top, h_bot, h_off, h_len, nhits, sums = search_loop(
         kern, rseq, lengths, start_cur, min_hitlen, increment, max_hits,
         first_hit_only)
@@ -284,7 +317,7 @@ class BatchSearchEngine:
 
     def _run(self, rseq, lengths, start, max_hits, first_hit_only):
         packed = np.asarray(batched_search_packed(
-            self.fm.blocks, self.fm.fchr, self.fm.ftab_top, self.fm.ftab_bot,
+            self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
             jnp.int32(self.fm.zoff), jnp.asarray(rseq), jnp.asarray(lengths),
             jnp.asarray(start), min_hitlen=self.min_hitlen,
             increment=self.increment, max_hits=max_hits,
@@ -304,7 +337,7 @@ class BatchSearchEngine:
         start = np.zeros(nlanes, dtype=np.int32)
         mh = min(self.FIRST_MAX_HITS, lmax)
         packed = batched_search_packed(
-            self.fm.blocks, self.fm.fchr, self.fm.ftab_top, self.fm.ftab_bot,
+            self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
             jnp.int32(self.fm.zoff), jnp.asarray(rseq), jnp.asarray(lengths),
             jnp.asarray(start), min_hitlen=self.min_hitlen,
             increment=self.increment, max_hits=mh, first_hit_only=False)

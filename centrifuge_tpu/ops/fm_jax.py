@@ -45,6 +45,8 @@ class DeviceFMIndex:
     fchr: jax.Array        # int32[5]
     ftab_top: jax.Array    # int32[4^ftabChars]
     ftab_bot: jax.Array    # int32[4^ftabChars]
+    ftab_tb: jax.Array     # int32[4^ftabChars, 2] stacked (top, bot):
+                           # one gather yields both range ends
     offs: jax.Array        # int32[offsLen] SA-sample sequence indexes
     boundary_rows: jax.Array    # int32[nb] sorted
     boundary_refs: jax.Array    # int32[nb]
@@ -79,11 +81,14 @@ class DeviceFMIndex:
         rows = np.concatenate([occ, words], axis=1)
 
         put = functools.partial(jax.device_put, device=device)
+        ftab_tb = np.stack([idx.ftab_top.astype(np.int32),
+                            idx.ftab_bot.astype(np.int32)], axis=1)
         return DeviceFMIndex(
             blocks=put(rows),
             fchr=put(idx.fchr.astype(np.int32)),
             ftab_top=put(idx.ftab_top.astype(np.int32)),
             ftab_bot=put(idx.ftab_bot.astype(np.int32)),
+            ftab_tb=put(ftab_tb),
             offs=put(idx.offs.astype(np.int32)),
             boundary_rows=put(idx.boundary_rows.astype(np.int32)),
             boundary_refs=put(idx.boundary_refidx.astype(np.int32)),

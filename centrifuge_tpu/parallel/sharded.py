@@ -54,8 +54,7 @@ class ShardedFMArrays:
 
     blocks: np.ndarray      # uint32[nblk_pad, 36]
     fchr: np.ndarray        # int32[5] (replicated)
-    ftab_top: np.ndarray    # int32[4^fc]
-    ftab_bot: np.ndarray    # int32[4^fc]
+    ftab_tb: np.ndarray     # int32[4^fc, 2] stacked (top, bot)
     offs: np.ndarray        # int32[offs_pad]
     boundary_rows: np.ndarray   # int32[nb] (replicated; tiny)
     boundary_refs: np.ndarray   # int32[nb]
@@ -71,7 +70,7 @@ class ShardedFMArrays:
 
     @property
     def nftab_per(self) -> int:
-        return self.ftab_top.shape[0] // self.n_fm
+        return self.ftab_tb.shape[0] // self.n_fm
 
     @property
     def noffs_per(self) -> int:
@@ -103,8 +102,8 @@ class ShardedFMArrays:
         return ShardedFMArrays(
             blocks=_pad_to(rows, n_fm),
             fchr=idx.fchr.astype(np.int32),
-            ftab_top=idx.ftab_top.astype(np.int32),
-            ftab_bot=idx.ftab_bot.astype(np.int32),
+            ftab_tb=np.stack([idx.ftab_top.astype(np.int32),
+                              idx.ftab_bot.astype(np.int32)], axis=1),
             offs=_pad_to(idx.offs.astype(np.int32), n_fm),
             boundary_rows=idx.boundary_rows.astype(np.int32),
             boundary_refs=idx.boundary_refidx.astype(np.int32),
@@ -116,7 +115,7 @@ class ShardedFMArrays:
         )
 
 
-def _shard_kernels(blocks_l, fchr, ftab_top_l, ftab_bot_l, zoff,
+def _shard_kernels(blocks_l, fchr, ftab_tb_l, zoff,
                    nblk_per, nftab_per, num_ftab, axis: str) -> FMKernels:
     """FMKernels over a local BWT-range slice: masked gather + psum."""
     fm_idx = jax.lax.axis_index(axis)
@@ -142,16 +141,34 @@ def _shard_kernels(blocks_l, fchr, ftab_top_l, ftab_bot_l, zoff,
         ch = ((word >> (2 * (within & 15).astype(jnp.uint32))) & 3).astype(jnp.int32)
         return jax.lax.psum(jnp.where(valid, ch, 0), axis)
 
+    def lf_pair(rows_t, rows_b, chars):
+        B = rows_t.shape[0]
+        rows = jnp.concatenate([rows_t, rows_b])
+        ch2 = jnp.concatenate([chars, chars])
+        blk = (rows >> 9) - blk_base
+        valid = (blk >= 0) & (blk < nblk_per)
+        data = blocks_l[jnp.clip(blk, 0, nblk_per - 1)]
+        within = rows & 511
+        r = rank_in_block(data, within, ch2, zoff, rows)
+        r = jax.lax.psum(jnp.where(valid, r, 0), axis)
+        lf2 = fchr[ch2] + r
+        word = data[jnp.arange(2 * B), 4 + (within >> 4)]
+        ch = ((word >> (2 * (within & 15).astype(jnp.uint32))) & 3
+              ).astype(jnp.int32)
+        topchar = jax.lax.psum(jnp.where(valid[:B], ch[:B], 0), axis)
+        return lf2[:B], lf2[B:], topchar
+
     def ftab_lookup(fi):
         li = fi - ftab_base
         valid = (li >= 0) & (li < nftab_per)
         lic = jnp.clip(li, 0, nftab_per - 1)
-        t = jnp.where(valid, ftab_top_l[lic], 0)
-        b = jnp.where(valid, ftab_bot_l[lic], 0)
-        return jax.lax.psum(t, axis), jax.lax.psum(b, axis)
+        tb = ftab_tb_l[lic]
+        tb = jnp.where(valid[:, None], tb, 0)
+        tb = jax.lax.psum(tb, axis)
+        return tb[:, 0], tb[:, 1]
 
-    return FMKernels(ftab_lookup=ftab_lookup, lf=lf, bwt_char=bwt_char,
-                     zoff=zoff, num_ftab=num_ftab)
+    return FMKernels(ftab_lookup=ftab_lookup, lf_pair=lf_pair, lf=lf,
+                     bwt_char=bwt_char, zoff=zoff, num_ftab=num_ftab)
 
 
 def make_sharded_step(mesh: Mesh, sh: ShardedFMArrays,
@@ -168,7 +185,7 @@ def make_sharded_step(mesh: Mesh, sh: ShardedFMArrays,
     with lane-major outputs gathered to global arrays.
     """
     increment = 10 if 2 * min_hitlen <= 33 else 2 * min_hitlen - 33
-    num_ftab = sh.ftab_top.shape[0]
+    num_ftab = sh.ftab_tb.shape[0]
     nblk_per = sh.nblk_per
     nftab_per = sh.nftab_per
     noffs_per = sh.noffs_per
@@ -178,9 +195,9 @@ def make_sharded_step(mesh: Mesh, sh: ShardedFMArrays,
     narrow = sh.npat <= 0xFFFF
     has_bounds = sh.boundary_rows.shape[0] > 0
 
-    def body(blocks_l, fchr, ftab_top_l, ftab_bot_l, offs_l, brows, brefs,
+    def body(blocks_l, fchr, ftab_tb_l, offs_l, brows, brefs,
              rseq, lengths, start):
-        kern = _shard_kernels(blocks_l, fchr, ftab_top_l, ftab_bot_l, zoff,
+        kern = _shard_kernels(blocks_l, fchr, ftab_tb_l, zoff,
                               nblk_per, nftab_per, num_ftab, "fm")
         h_top, h_bot, h_off, h_len, nhits, sums = search_loop(
             kern, rseq, lengths, start, min_hitlen, increment, max_hits,
@@ -241,7 +258,7 @@ def make_sharded_step(mesh: Mesh, sh: ShardedFMArrays,
 
     mapped = shard_map(
         body, mesh=mesh,
-        in_specs=(P("fm", None), P(), P("fm"), P("fm"), P("fm"), P(), P(),
+        in_specs=(P("fm", None), P(), P("fm", None), P("fm"), P(), P(),
                   P("dp", None), P("dp"), P("dp")),
         out_specs=(P("dp", None), P("dp", None), P("dp", None),
                    P("dp", None), P("dp"), P("dp"), P("dp", None), P()),
@@ -252,8 +269,7 @@ def make_sharded_step(mesh: Mesh, sh: ShardedFMArrays,
     dev_arrays = (
         jax.device_put(sh.blocks, sharding("fm", None)),
         jax.device_put(sh.fchr, sharding()),
-        jax.device_put(sh.ftab_top, sharding("fm")),
-        jax.device_put(sh.ftab_bot, sharding("fm")),
+        jax.device_put(sh.ftab_tb, sharding("fm", None)),
         jax.device_put(sh.offs, sharding("fm")),
         jax.device_put(sh.boundary_rows, sharding()),
         jax.device_put(sh.boundary_refs, sharding()),

@@ -54,7 +54,7 @@ def test_sharded_step_matches_single_chip(synth_index, dp, fm):
     r_top, r_bot, r_off, r_len, r_n, r_sums = [
         np.asarray(x)
         for x in batched_search(
-            dfm.blocks, dfm.fchr, dfm.ftab_top, dfm.ftab_bot,
+            dfm.blocks, dfm.fchr, dfm.ftab_tb,
             np.int32(dfm.zoff), rseq, lengths, start,
             min_hitlen=22, increment=11, max_hits=max_hits,
             first_hit_only=False)]
