@@ -28,7 +28,7 @@ sys.path.insert(0, REPO)
 
 BASELINE_READS_PER_SEC = 3333.0
 FIXDIR = os.path.join(REPO, "tests", "fixtures", "synth")
-BATCH = 4096
+BATCH = 8192
 N_THROUGHPUT_READS = 7 * BATCH  # full batches only: one jit shape set
 
 

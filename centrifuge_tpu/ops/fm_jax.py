@@ -196,7 +196,7 @@ def _resolve_rows(blocks, fchr, offs, boundary_rows, boundary_refs, zoff,
         rows, tidx, it = state
         return (tidx < 0).any() & (it < max_steps)
 
-    def body(state):
+    def step(state):
         rows, tidx, it = state
         unresolved = tidx < 0
         step_rows = jnp.where(unresolved, rows, 0)
@@ -205,6 +205,13 @@ def _resolve_rows(blocks, fchr, offs, boundary_rows, boundary_refs, zoff,
         t2 = try_offset(rows)
         tidx = jnp.where(unresolved, t2, tidx)
         return rows, tidx, it + 1
+
+    def body(state):
+        # the step is a no-op on resolved rows, so unrolling amortizes
+        # per-iteration dispatch overhead without changing results
+        for _ in range(4):
+            state = step(state)
+        return state
 
     tidx = try_offset(rows)
     rows, tidx, _ = jax.lax.while_loop(cond, body, (rows, tidx, jnp.int32(0)))
