@@ -54,6 +54,7 @@ class FMKernels:
     bwt_char: Callable
     zoff: jnp.ndarray
     num_ftab: int
+    row_dtype: object = jnp.int32
 
 
 def _precompute_windows(rseq: jax.Array, ftab_chars: int):
@@ -102,6 +103,7 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
                       jnp.concatenate([fi_tab, pad], axis=1),
                       jnp.concatenate([firstn_tab, pad], axis=1)], axis=2)
     lanes = jnp.arange(L, dtype=jnp.int32)
+    idt = kern.row_dtype  # int64 on the wide (>2^31 bases) path
 
     state = dict(
         cur=start_cur,
@@ -109,12 +111,12 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         mode=jnp.zeros(L, jnp.int32),        # 0 = start, 1 = extend
         offset=jnp.zeros(L, jnp.int32),
         dep=jnp.zeros(L, jnp.int32),
-        top=jnp.zeros(L, jnp.int32),
-        bot=jnp.zeros(L, jnp.int32),
+        top=jnp.zeros(L, idt),
+        bot=jnp.zeros(L, idt),
         nhits=jnp.zeros(L, jnp.int32),
         sums=jnp.zeros(L, jnp.int32),
         # [top, bot, off, len] per hit slot; single scatter per step
-        h_all=jnp.tile(jnp.array([-1, -1, 0, 0], jnp.int32),
+        h_all=jnp.tile(jnp.array([-1, -1, 0, 0], idt),
                        (L, max_hits, 1)),
     )
 
@@ -167,14 +169,15 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
 
         # ---------------- emission ----------------
         emit = start_emit | ext_emit
-        e_top = jnp.where(ext_emit, top, NEG)
-        e_bot = jnp.where(ext_emit, bot, NEG)
+        e_top = jnp.where(ext_emit, top, jnp.asarray(-1, idt))
+        e_bot = jnp.where(ext_emit, bot, jnp.asarray(-1, idt))
         e_off = jnp.where(ext_emit, s["offset"], cur)
         e_cur = jnp.where(ext_emit, dep, start_newcur)  # cursor after search
         e_len = e_cur - e_off
 
         slot = jnp.clip(s["nhits"], 0, max_hits - 1)
-        rec = jnp.stack([e_top, e_bot, e_off, e_len], axis=1)   # (L, 4)
+        rec = jnp.stack([e_top, e_bot, e_off.astype(idt),
+                         e_len.astype(idt)], axis=1)            # (L, 4)
         old = s["h_all"][lanes, slot]
         h_all = s["h_all"].at[lanes, slot].set(
             jnp.where(emit[:, None], rec, old))
@@ -220,6 +223,7 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
 def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff) -> FMKernels:
     """Single-device kernel set: plain gathers into replicated arrays."""
     from ..ops.fm_jax import WORDS_PER_BLOCK, rank_in_block
+    word_off = 8 if fm_blocks.shape[1] == 8 + WORDS_PER_BLOCK else 4
 
     def ftab_lookup(fi):
         tb = fm_ftab_tb[fi]                    # (B, 2): one gather
@@ -230,11 +234,11 @@ def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff) -> FMKernels:
         rows = jnp.concatenate([rows_t, rows_b])
         ch2 = jnp.concatenate([chars, chars])
         blk = rows >> 9
-        within = rows & 511
-        data = fm_blocks[blk]                  # (2B, 36): one gather
-        r = rank_in_block(data, within, ch2, zoff, rows)
+        within = (rows & 511).astype(jnp.int32)
+        data = fm_blocks[blk]                  # (2B, 36|40): one gather
+        r = rank_in_block(data, within, ch2, zoff, rows, word_off)
         lf = fm_fchr[ch2] + r
-        word = data[jnp.arange(B), 4 + (within[:B] >> 4)]
+        word = data[jnp.arange(B), word_off + (within[:B] >> 4)]
         topchar = ((word >> (2 * (within[:B] & 15).astype(jnp.uint32))) & 3
                    ).astype(jnp.int32)
         return lf[:B], lf[B:], topchar
@@ -246,6 +250,7 @@ def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff) -> FMKernels:
         bwt_char=lambda rows: bwt_char_kernel(fm_blocks, rows),
         zoff=zoff,
         num_ftab=fm_ftab_tb.shape[0],
+        row_dtype=fm_ftab_tb.dtype,
     )
 
 
@@ -275,8 +280,10 @@ def batched_search_packed(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
     h_top, h_bot, h_off, h_len, nhits, sums = search_loop(
         kern, rseq, lengths, start_cur, min_hitlen, increment, max_hits,
         first_hit_only)
+    idt = kern.row_dtype
     return jnp.concatenate(
-        [h_top, h_bot, h_off, h_len, nhits[:, None], sums[:, None]], axis=1)
+        [h_top, h_bot, h_off, h_len,
+         nhits.astype(idt)[:, None], sums.astype(idt)[:, None]], axis=1)
 
 
 def _bucket(n: int, lo: int = 256) -> int:

@@ -386,12 +386,13 @@ class TPUClassificationPipeline:
         values: List[List[int]] = []
         if requests:
             from .engine import _bucket
+            rdt = np.int64 if self.dfm.wide else np.int32
             rows = np.concatenate([
                 np.arange(top, top + nelt, dtype=np.int64)
-                for top, nelt in requests]).astype(np.int32)
+                for top, nelt in requests]).astype(rdt)
             nrows = rows.shape[0]
             self.metrics.resolve_rows += nrows
-            padded = np.zeros(_bucket(nrows), dtype=np.int32)
+            padded = np.zeros(_bucket(nrows), dtype=rdt)
             padded[:nrows] = rows
             tidx = np.asarray(self.resolver(padded))[:nrows]
             pos = 0

@@ -149,6 +149,10 @@ def run(argv: List[str]) -> int:
 
     t_start = time.time()
     idx = load_cf_index(args.index)
+    if idx.bwt_len >= (1 << 31):
+        # wide path: indexes over 2^31 bases need 64-bit device rows
+        import jax
+        jax.config.update("jax_enable_x64", True)
 
     from ..classify.pipeline import SAM_COLUMNS
     columns = list(SAM_COLUMNS) if args.out_fmt == "sam" \

@@ -441,7 +441,7 @@ void* ctx_create(const u64* uid_tids, i64 n_uids,
 void ctx_free(void* p) { delete (Ctx*)p; }
 
 void* batch_begin(void* cp,
-                  const i32* h_top, const i32* h_bot, const i32* h_off,
+                  const i64* h_top, const i64* h_bot, const i32* h_off,
                   const i32* h_len, const i32* nhits, const i32* sums,
                   i64 n_lanes, i64 max_hits,
                   const i32* lane_unit, const i32* lane_mate,
@@ -472,7 +472,7 @@ void* batch_begin(void* cp,
         for (i64 j = 0; j < k; j++) {
             i64 base = li * max_hits + j;
             PartialHit h;
-            i32 t = h_top[base], bo = h_bot[base];
+            i64 t = h_top[base], bo = h_bot[base];
             h.top = t < 0 ? OFF_MASK : (u64)t;
             h.bot = bo < 0 ? OFF_MASK : (u64)bo;
             h.bwoff = (u64)(u32)h_off[base];
@@ -526,7 +526,7 @@ i64 batch_extension_misses(void* bp, i32* out_unit, i32* out_mate,
     return n;
 }
 
-void batch_extension_feed(void* bp, i64 n, const i32* tops, const i32* bots,
+void batch_extension_feed(void* bp, i64 n, const i64* tops, const i64* bots,
                           const i32* offs, const i32* lens) {
     Batch* b = (Batch*)bp;
     for (i64 i = 0; i < n; i++) {

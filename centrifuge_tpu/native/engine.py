@@ -53,7 +53,7 @@ def load_native():
         lib.ctx_free.argtypes = [C.c_void_p]
         lib.batch_begin.restype = C.c_void_p
         lib.batch_begin.argtypes = [
-            C.c_void_p, i32p, i32p, i32p, i32p, i32p, i32p,
+            C.c_void_p, i64p, i64p, i32p, i32p, i32p, i32p,
             C.c_int64, C.c_int64, i32p, i32p, i32p,
             C.c_int64, i32p, i32p, u8p, u32p]
         lib.batch_free.argtypes = [C.c_void_p]
@@ -61,7 +61,7 @@ def load_native():
         lib.batch_extension_misses.argtypes = [
             C.c_void_p, i32p, i32p, i32p, i32p, C.c_int64]
         lib.batch_extension_feed.argtypes = [
-            C.c_void_p, C.c_int64, i32p, i32p, i32p, i32p]
+            C.c_void_p, C.c_int64, i64p, i64p, i32p, i32p]
         lib.batch_resolve_requests.restype = C.c_int64
         lib.batch_resolve_requests.argtypes = [C.c_void_p, u64p, u64p,
                                                C.c_int64]
@@ -130,8 +130,10 @@ class NativeAssigner:
         where each result is a tuple matching AlnResult fields.
         """
         lib = self.lib
-        h_top, h_bot, h_off, h_len, nhits, sums = [
-            np.ascontiguousarray(a, dtype=np.int32) for a in arrays]
+        h_top = np.ascontiguousarray(arrays[0], dtype=np.int64)
+        h_bot = np.ascontiguousarray(arrays[1], dtype=np.int64)
+        h_off, h_len, nhits, sums = [
+            np.ascontiguousarray(a, dtype=np.int32) for a in arrays[2:]]
         L = h_top.shape[0]
         mh = h_top.shape[1]
         lane_unit = np.array([u for u, _, _ in lane_map], dtype=np.int32)
@@ -168,8 +170,8 @@ class NativeAssigner:
                 res = engine.search_first_hits(seqs, mo[:n])
                 lib.batch_extension_feed(
                     bh, n,
-                    np.ascontiguousarray(res[0][:, 0], np.int32),
-                    np.ascontiguousarray(res[1][:, 0], np.int32),
+                    np.ascontiguousarray(res[0][:, 0], np.int64),
+                    np.ascontiguousarray(res[1][:, 0], np.int64),
                     np.ascontiguousarray(res[2][:, 0], np.int32),
                     np.ascontiguousarray(res[3][:, 0], np.int32))
             else:
@@ -184,14 +186,16 @@ class NativeAssigner:
                 raise RuntimeError("resolve request buffer too small")
             values = np.zeros(0, np.int32)
             if nreq > 0:
+                rdt = np.int64 if getattr(resolver, "wide", False) \
+                    else np.int32
                 rows = np.concatenate([
                     np.arange(int(t), int(t) + int(ne), dtype=np.int64)
                     for t, ne in zip(tops[:nreq], nelts[:nreq])]
-                ).astype(np.int32)
+                ).astype(rdt)
                 if metrics is not None:
                     metrics.resolve_rows += rows.shape[0]
                 from ..classify.engine import _bucket
-                padded = np.zeros(_bucket(rows.shape[0]), np.int32)
+                padded = np.zeros(_bucket(rows.shape[0]), rdt)
                 padded[: rows.shape[0]] = rows
                 values = np.ascontiguousarray(
                     np.asarray(resolver(padded))[: rows.shape[0]], np.int32)

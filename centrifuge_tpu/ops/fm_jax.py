@@ -12,8 +12,11 @@ bases equal to c become 00; AND the two bit-planes of the complement to
 get one marker bit per base; population_count finishes the job. This is
 the vector analog of the reference's countInU64 (bt2_idx.h:505-517).
 
-All row indexes are int32 (indexes up to 2^31-1 bases; larger indexes get
-a 2-word path in a later revision).
+Row indexes are int32 for indexes under 2^31 bases. Larger indexes (the
+p_compressed/nt scale) use the WIDE path: row values are int64 (requires
+jax x64), and each block row carries 64-bit occ checkpoints split into
+lo/hi uint32 pairs (occ_lo[4] | occ_hi[4] | words[32]) so a rank query
+is still one gather.
 """
 
 from __future__ import annotations
@@ -41,25 +44,38 @@ _CHAR_PATTERNS = np.array(
 class DeviceFMIndex:
     """Device-resident arrays for the FM search kernels."""
 
-    blocks: jax.Array      # uint32[nblk, 36]: occ[4] then 32 bwt words
-    fchr: jax.Array        # int32[5]
-    ftab_top: jax.Array    # int32[4^ftabChars]
-    ftab_bot: jax.Array    # int32[4^ftabChars]
-    ftab_tb: jax.Array     # int32[4^ftabChars, 2] stacked (top, bot):
+    blocks: jax.Array      # uint32[nblk, 36|40]: occ then 32 bwt words
+    fchr: jax.Array        # int32/int64[5]
+    ftab_top: jax.Array    # int32/int64[4^ftabChars]
+    ftab_bot: jax.Array    # int32/int64[4^ftabChars]
+    ftab_tb: jax.Array     # [4^ftabChars, 2] stacked (top, bot):
                            # one gather yields both range ends
     offs: jax.Array        # int32[offsLen] SA-sample sequence indexes
-    boundary_rows: jax.Array    # int32[nb] sorted
+    boundary_rows: jax.Array    # row-dtype[nb] sorted
     boundary_refs: jax.Array    # int32[nb]
     zoff: int
     bwt_len: int
     ftab_chars: int
     offrate: int
     npat: int
+    wide: bool = False     # True: int64 rows, 64-bit occ checkpoints
+
+    @property
+    def row_dtype(self):
+        return jnp.int64 if self.wide else jnp.int32
+
+    @property
+    def word_off(self) -> int:
+        return 8 if self.wide else 4
 
     @staticmethod
-    def build(idx: CFIndex, device=None) -> "DeviceFMIndex":
-        if idx.bwt_len >= (1 << 31):
-            raise NotImplementedError("indexes >= 2^31 bases need the wide path")
+    def build(idx: CFIndex, device=None, wide: bool = None) -> "DeviceFMIndex":
+        if wide is None:
+            wide = idx.bwt_len >= (1 << 31)
+        if wide and not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "index >= 2^31 bases needs the wide path: enable 64-bit "
+                "mode first (jax.config.update('jax_enable_x64', True))")
         bwt = idx.bwt
         n = bwt.shape[0]
         nblk = n // BLOCK_BASES + 1
@@ -74,29 +90,36 @@ class DeviceFMIndex:
         # occ checkpoints: raw counts before each block ('$' counted as the
         # code-0 'A' it is stored as; the rank kernel subtracts it once)
         blocks_codes = padded.reshape(nblk, BLOCK_BASES)
-        occ = np.zeros((nblk, 4), dtype=np.uint32)
+        occ = np.zeros((nblk, 4), dtype=np.uint64)
         for c in range(4):
             cnt = (blocks_codes == c).sum(axis=1).astype(np.uint64)
             occ[1:, c] = np.cumsum(cnt)[:-1]
-        rows = np.concatenate([occ, words], axis=1)
+        if wide:
+            occ_lo = (occ & 0xFFFFFFFF).astype(np.uint32)
+            occ_hi = (occ >> 32).astype(np.uint32)
+            rows = np.concatenate([occ_lo, occ_hi, words], axis=1)
+        else:
+            rows = np.concatenate([occ.astype(np.uint32), words], axis=1)
 
         put = functools.partial(jax.device_put, device=device)
-        ftab_tb = np.stack([idx.ftab_top.astype(np.int32),
-                            idx.ftab_bot.astype(np.int32)], axis=1)
+        it = np.int64 if wide else np.int32
+        ftab_tb = np.stack([idx.ftab_top.astype(it),
+                            idx.ftab_bot.astype(it)], axis=1)
         return DeviceFMIndex(
             blocks=put(rows),
-            fchr=put(idx.fchr.astype(np.int32)),
-            ftab_top=put(idx.ftab_top.astype(np.int32)),
-            ftab_bot=put(idx.ftab_bot.astype(np.int32)),
+            fchr=put(idx.fchr.astype(it)),
+            ftab_top=put(idx.ftab_top.astype(it)),
+            ftab_bot=put(idx.ftab_bot.astype(it)),
             ftab_tb=put(ftab_tb),
             offs=put(idx.offs.astype(np.int32)),
-            boundary_rows=put(idx.boundary_rows.astype(np.int32)),
+            boundary_rows=put(idx.boundary_rows.astype(it)),
             boundary_refs=put(idx.boundary_refidx.astype(np.int32)),
             zoff=int(idx.zoff),
             bwt_len=int(idx.bwt_len),
             ftab_chars=int(idx.ftab_chars),
             offrate=int(idx.offrate),
             npat=int(idx.npat),
+            wide=wide,
         )
 
 
@@ -113,34 +136,44 @@ def _count_c_in_word(word: jax.Array, pattern: jax.Array, nvalid: jax.Array) -> 
 
 
 def rank_in_block(data: jax.Array, within: jax.Array, chars: jax.Array,
-                  zoff: jnp.int32, rows: jax.Array) -> jax.Array:
-    """rank_c(row) given the gathered block rows `data` (B, 36).
+                  zoff, rows: jax.Array, word_off: int = 4) -> jax.Array:
+    """rank_c(row) given the gathered block rows `data` (B, 36|40).
 
     `within` = row & 511. Shared by the replicated-index path (rank_kernel)
     and the BWT-range-sharded path (parallel/sharded.py), which gathers
-    `data` from its local block slice before calling this.
+    `data` from its local block slice before calling this. word_off=8
+    selects the wide layout (64-bit occ split into lo/hi uint32 pairs);
+    the result dtype then widens to int64.
     """
-    occ = data[:, :4]
-    words = data[:, 4:]                      # (B, 32)
+    words = data[:, word_off:]               # (B, 32)
     pattern = jnp.asarray(_CHAR_PATTERNS)[chars][:, None]     # (B, 1)
     widx = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)[None, :]
-    nvalid = jnp.clip(within[:, None] - widx * 16, 0, 16)
-    cnt = _count_c_in_word(words, pattern, nvalid).sum(axis=1)
-    base = occ[jnp.arange(rows.shape[0]), chars].astype(jnp.int32)
+    within32 = within.astype(jnp.int32)
+    nvalid = jnp.clip(within32[:, None] - widx * 16, 0, 16)
+    cnt = _count_c_in_word(words, pattern, nvalid).sum(axis=1, dtype=jnp.int32)
+    lanes = jnp.arange(rows.shape[0])
+    if word_off == 8:
+        lo = data[lanes, chars].astype(jnp.int64)
+        hi = data[lanes, chars + 4].astype(jnp.int64)
+        base = lo | (hi << 32)
+    else:
+        base = data[lanes, chars].astype(jnp.int32)
     adj = ((chars == 0) & (zoff < rows)).astype(jnp.int32)
     return base + cnt - adj
 
 
-def rank_kernel(blocks: jax.Array, zoff: jnp.int32, rows: jax.Array,
-                chars: jax.Array) -> jax.Array:
-    """Batched rank_c(row): occurrences of c in bwt[0:row], $ excluded.
+def _layout_word_off(blocks) -> int:
+    return 8 if blocks.shape[1] == 8 + WORDS_PER_BLOCK else 4
 
-    rows: int32[B], chars: int32[B] in 0..3.
-    """
+
+def rank_kernel(blocks: jax.Array, zoff, rows: jax.Array,
+                chars: jax.Array) -> jax.Array:
+    """Batched rank_c(row): occurrences of c in bwt[0:row], $ excluded."""
     blk = rows >> 9
     within = rows & 511
-    data = blocks[blk]                       # (B, 36) uint32
-    return rank_in_block(data, within, chars, zoff, rows)
+    data = blocks[blk]
+    return rank_in_block(data, within, chars, zoff, rows,
+                         _layout_word_off(blocks))
 
 
 def lf_kernel(blocks, fchr, zoff, rows, chars):
@@ -151,9 +184,10 @@ def lf_kernel(blocks, fchr, zoff, rows, chars):
 def bwt_char_kernel(blocks: jax.Array, rows: jax.Array) -> jax.Array:
     """Batched BWT[row] (the '$' row reads as code 0, as stored)."""
     blk = rows >> 9
-    within = rows & 511
+    within = (rows & 511).astype(jnp.int32)
     data = blocks[blk]
-    word = data[jnp.arange(rows.shape[0]), 4 + (within >> 4)]
+    word = data[jnp.arange(rows.shape[0]),
+                _layout_word_off(blocks) + (within >> 4)]
     return ((word >> (2 * (within & 15).astype(jnp.uint32))) & 3).astype(jnp.int32)
 
 
@@ -173,7 +207,7 @@ def _resolve_rows(blocks, fchr, offs, boundary_rows, boundary_refs, zoff,
     across pipeline instances (keyed by array shapes + static config)."""
 
     def try_offset(rows):
-        tidx = jnp.full_like(rows, -1)
+        tidx = jnp.full(rows.shape, -1, jnp.int32)
         sampled = (rows & sample_mask) == 0
         sval = offs[jnp.clip(rows >> offrate, 0, offs.shape[0] - 1)]
         tidx = jnp.where(sampled, sval, tidx)
@@ -232,8 +266,9 @@ def make_resolver(fm: DeviceFMIndex, max_steps: int = 4096):
     def resolve(rows):
         return _resolve_rows(
             fm.blocks, fm.fchr, fm.offs, fm.boundary_rows, fm.boundary_refs,
-            jnp.int32(fm.zoff), rows, sample_mask=sample_mask,
-            offrate=fm.offrate, has_bounds=has_bounds, narrow=narrow,
-            max_steps=max_steps)
+            jnp.asarray(fm.zoff, fm.row_dtype), rows,
+            sample_mask=sample_mask, offrate=fm.offrate,
+            has_bounds=has_bounds, narrow=narrow, max_steps=max_steps)
 
+    resolve.wide = fm.wide
     return resolve
