@@ -33,8 +33,18 @@ def build_index(fasta_paths: List[str], basename: str,
     if verbose:
         print(f"  suffix array built ({time.time()-t0:.1f}s)")
     t0 = time.time()
-    write_index(basename, codes, sa, szs, refnames, plen,
-                conversion_table, taxonomy_tree, name_table, size_table,
-                offrate, ftab_chars, line_rate)
+    try:
+        write_index(basename, codes, sa, szs, refnames, plen,
+                    conversion_table, taxonomy_tree, name_table, size_table,
+                    offrate, ftab_chars, line_rate)
+    except BaseException:
+        # never leave a partial index behind (centrifuge_build.cpp:735-744)
+        import os
+        for ext in ("1", "2", "3", "4"):
+            try:
+                os.unlink(f"{basename}.{ext}.cf")
+            except OSError:
+                pass
+        raise
     if verbose:
         print(f"  index written ({time.time()-t0:.1f}s)")
