@@ -83,17 +83,17 @@ def format_tax_id(tid: int) -> str:
     return f"{lo}.{hi}" if hi > 0 else str(lo)
 
 
+import re as _re
+
+_READ_ID_RE = _re.compile(rb"[^ \t\r\n\x0b\x0c]*")
+
+
 def format_read_id(name: bytes) -> str:
     """Strip a trailing /1,/2,/3 and stop at whitespace (aln_sink.h:2202-2217)."""
     n = len(name)
-    if n >= 2 and name[n - 2] == ord("/") and name[n - 1] in (ord("1"), ord("2"), ord("3")):
+    if n >= 2 and name[n - 2] == 0x2F and name[n - 1] in (0x31, 0x32, 0x33):
         name = name[: n - 2]
-    out = bytearray()
-    for b in name:
-        if b in b" \t\r\n\x0b\x0c":
-            break
-        out.append(b)
-    return out.decode()
+    return _READ_ID_RE.match(name).group().decode()
 
 
 @dataclass
@@ -165,6 +165,29 @@ class ResultFormatter:
                       reads: Optional[Tuple] = None) -> List[str]:
         """reads: optional (rec1, rec2-or-None) for SEQ/QUAL columns."""
         from ..index.taxonomy import rank_string
+        if (self.cfg.columns == DEFAULT_COLUMNS and not self.cfg.count_kmers
+                and (unclassified or not results)):
+            # hot unclassified fast path
+            spm.add(0, 0, 0, 0.0, 1)
+            rid = format_read_id(name)
+            return [f"{rid}\tunclassified\t0\t0\t0\t0\t{qlen}\t1"]
+        if self.cfg.columns == DEFAULT_COLUMNS and not self.cfg.count_kmers \
+                and results and not unclassified:
+            # hot default-column fast path
+            rid = format_read_id(name)
+            nres = len(results)
+            rows = []
+            for r in results:
+                node = self.tree.get(r.tax_id)
+                leaf = node.leaf if node is not None else True
+                seq_id = r.uid if leaf else rank_string(r.tax_rank)
+                tid = r.tax_id
+                tid_s = str(tid) if tid < 0x100000000 else format_tax_id(tid)
+                rows.append(
+                    f"{rid}\t{seq_id}\t{tid_s}\t{r.score}\t{secbest}\t"
+                    f"{int(r.summed_len)}\t{qlen}\t{nres}")
+                spm.add(tid, r.score, r.max_score, r.summed_len, nres)
+            return rows
         rows = []
         if unclassified or not results:
             results = [AlnResult(score=0, max_score=0, uid="unclassified",

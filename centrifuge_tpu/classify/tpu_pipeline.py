@@ -23,7 +23,7 @@ import numpy as np
 from ..index.cf_io import CFIndex
 from ..io.fastx import ReadRec
 from ..ops.fm_jax import DeviceFMIndex, make_resolver
-from ..utils.rng import LCG, gen_read_seed
+from ..utils.rng import LCG, gen_read_seed, gen_read_seeds_batch
 from .algo import (OFF_MASK, Classifier, PartialHit, StrandState,
                    extend_and_filter, select_results)
 from .engine import BatchSearchEngine
@@ -148,9 +148,7 @@ class TPUClassificationPipeline:
         lane_seqs, lane_map, handle = fut
         if self.native is not None and lane_seqs:
             arrays = self.engine.search_collect(handle, len(lane_seqs))
-            seeds = np.array(
-                [gen_read_seed(r.seq, r.qual, r.name, self.cfg.seed)
-                 for r in recs], dtype=np.uint32)
+            seeds = gen_read_seeds_batch(recs, self.cfg.seed)
             per_unit, secbest = self.native.process(
                 arrays, lane_map, lane_seqs, units,
                 [False] * len(units), seeds, self.engine, self.resolver,

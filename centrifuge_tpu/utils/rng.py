@@ -37,6 +37,40 @@ def shuffle_portion(items: list, begin: int, num: int, rnd: LCG) -> None:
         left -= 1
 
 
+def gen_read_seeds_batch(recs, seed: int):
+    """Vectorized gen_read_seed over a batch of ReadRecs.
+
+    Pads sequences/quals into matrices; padded zeros contribute 0 to the
+    XOR fold, so the result matches the per-read function exactly.
+    """
+    import numpy as np
+    n = len(recs)
+    out = np.full(n, ((seed + 101) * 59 * 61 * 67 * 71 * 73 * 79 * 83)
+                  & M32, dtype=np.int64)
+    if n == 0:
+        return out.astype(np.uint32)
+    lmax = max(len(r.seq) for r in recs)
+    qmax = max(len(r.qual) for r in recs)
+    seqm = np.zeros((n, lmax), dtype=np.int64)
+    qualm = np.zeros((n, max(qmax, 1)), dtype=np.int64)
+    for i, r in enumerate(recs):
+        seqm[i, : len(r.seq)] = r.seq
+        q = np.frombuffer(r.qual, np.uint8)
+        qualm[i, : q.shape[0]] = q
+    sshift = (np.arange(lmax) & 15) << 1
+    out ^= np.bitwise_xor.reduce(seqm << sshift[None, :], axis=1)
+    qshift = (np.arange(qualm.shape[1]) & 3) << 3
+    out ^= np.bitwise_xor.reduce(qualm << qshift[None, :], axis=1)
+    for i, r in enumerate(recs):
+        name = r.name
+        slash = name.find(b"/")
+        nm = np.frombuffer(name[:slash] if slash >= 0 else name, np.uint8)
+        if nm.shape[0]:
+            out[i] ^= int(np.bitwise_xor.reduce(
+                nm.astype(np.int64) << ((np.arange(nm.shape[0]) & 3) << 3)))
+    return (out & M32).astype(np.uint32)
+
+
 def gen_read_seed(seq_codes, qual: bytes, name: bytes, seed: int) -> int:
     """Per-read seed from sequence codes (0-4), quals, and name (pat.h:55-91).
 
