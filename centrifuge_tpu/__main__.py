@@ -6,12 +6,14 @@ Tools: classify (default), build, inspect, kreport, download, promote.
 import sys
 
 _TOOLS = {
-    "classify": "centrifuge_tpu.cli.classify",
-    "build": "centrifuge_tpu.cli.build_cli",
-    "inspect": "centrifuge_tpu.cli.inspect_cli",
-    "kreport": "centrifuge_tpu.cli.kreport_cli",
-    "download": "centrifuge_tpu.cli.download_cli",
-    "promote": "centrifuge_tpu.cli.promote_cli",
+    "classify": ("centrifuge_tpu.cli.classify", "run"),
+    "build": ("centrifuge_tpu.cli.build_cli", "run"),
+    "inspect": ("centrifuge_tpu.cli.inspect_cli", "run"),
+    "kreport": ("centrifuge_tpu.cli.kreport_cli", "run"),
+    "download": ("centrifuge_tpu.cli.download_cli", "run"),
+    "promote": ("centrifuge_tpu.cli.promote_cli", "run"),
+    "simulate": ("centrifuge_tpu.cli.eval_cli", "run_simulate"),
+    "evaluate": ("centrifuge_tpu.cli.eval_cli", "run_evaluate"),
 }
 
 
@@ -22,8 +24,9 @@ def main() -> None:
         tool = argv[0]
         argv = argv[1:]
     import importlib
-    mod = importlib.import_module(_TOOLS[tool])
-    sys.exit(mod.run(argv))
+    mod_name, fn = _TOOLS[tool]
+    mod = importlib.import_module(mod_name)
+    sys.exit(getattr(mod, fn)(argv))
 
 
 if __name__ == "__main__":

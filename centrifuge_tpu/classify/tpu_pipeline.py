@@ -183,6 +183,97 @@ class TPUClassificationPipeline:
         m.batches += 1
         return rows
 
+    def classify_stream_paired(self, batches) -> "Iterator[List[str]]":
+        """Pipelined streaming for pairs (native engine only; falls back
+        to sequential batches otherwise)."""
+        if self.native is None:
+            for pairs in batches:
+                yield self.classify_batch_paired(pairs)
+            return
+        pending = None
+        for pairs in batches:
+            prep = self._prep_paired(pairs)
+            fut = self._dispatch_units(prep[0], prep[2])
+            if pending is not None:
+                yield self._finish_paired(*pending)
+            pending = (pairs, prep, fut)
+        if pending is not None:
+            yield self._finish_paired(*pending)
+
+    def _prep_paired(self, pairs):
+        units = []
+        passes = []
+        paired_flags = []
+        for r1, r2 in pairs:
+            p1 = n_filter(r1.seq, self.cfg.n_ceil_const, self.cfg.n_ceil_coef) \
+                and len(r1.seq) >= self.cfg.min_read_len
+            p2 = n_filter(r2.seq, self.cfg.n_ceil_const, self.cfg.n_ceil_coef) \
+                and len(r2.seq) >= self.cfg.min_read_len
+            passes.append((p1, p2))
+            if p1 and p2:
+                units.append([(r1.seq, r1.revcomp()), (r2.seq, r2.revcomp())])
+                paired_flags.append(True)
+            elif p1:
+                units.append([(r1.seq, r1.revcomp())])
+                paired_flags.append(False)
+            elif p2:
+                units.append([(r2.seq, r2.revcomp())])
+                paired_flags.append(False)
+            else:
+                units.append([])
+                paired_flags.append(False)
+        active = [bool(u) for u in units]
+        return units, passes, active, paired_flags
+
+    def _finish_paired(self, pairs, prep, fut) -> List[str]:
+        units, passes, active, paired_flags = prep
+        lane_seqs, lane_map, handle = fut
+        if not lane_seqs:
+            rows = []
+            for (r1, r2), _ in zip(pairs, passes):
+                qlen = len(r1.seq) + len(r2.seq)
+                rows.extend(self.formatter.rows_for_read(
+                    r1.name, qlen, [], 0, self.spm, unclassified=True,
+                    reads=(r1, r2)))
+            return rows
+        arrays = self.engine.search_collect(handle, len(lane_seqs))
+        seeds = np.zeros(len(units), dtype=np.uint32)
+        for ui, ((r1, r2), (p1, p2)) in enumerate(zip(pairs, passes)):
+            if p1 and p2:
+                seeds[ui] = (gen_read_seed(r1.seq, r1.qual, r1.name,
+                                           self.cfg.seed)
+                             ^ gen_read_seed(r2.seq, r2.qual, r2.name,
+                                             self.cfg.seed))
+            elif p1:
+                seeds[ui] = gen_read_seed(r1.seq, r1.qual, r1.name,
+                                          self.cfg.seed)
+            elif p2:
+                seeds[ui] = gen_read_seed(r2.seq, r2.qual, r2.name,
+                                          self.cfg.seed)
+        per_unit, secbest = self.native.process(
+            arrays, lane_map, lane_seqs, units, paired_flags, seeds,
+            self.engine, self.resolver, self.metrics)
+        rows: List[str] = []
+        m = self.metrics
+        for ui, ((r1, r2), (p1, p2)) in enumerate(zip(pairs, passes)):
+            qlen = len(r1.seq) + len(r2.seq)
+            chosen = per_unit[ui] if (p1 or p2) else []
+            sb = secbest[ui] if (p1 or p2) else 0
+            m.reads += 1
+            m.bases += qlen
+            if not (p1 or p2):
+                m.filtered += 1
+            if chosen:
+                m.reads_classified += 1
+                m.assignments += len(chosen)
+            else:
+                m.reads_unclassified += 1
+            rows.extend(self.formatter.rows_for_read(
+                r1.name, qlen, chosen, sb, self.spm,
+                unclassified=not chosen, reads=(r1, r2)))
+        m.batches += 1
+        return rows
+
     def classify_batch_paired(self, pairs: Sequence[Tuple[ReadRec, ReadRec]]
                               ) -> List[str]:
         units = []

@@ -342,12 +342,19 @@ def run(argv: List[str]) -> int:
         if args.tab12:
             pair_src += [p for p in tab12_iter(_split(args.tab12))
                          if p[1] is not None]
-        for batch in batches(iter(pair_src), args.batch_size):
-            rows = pipe.classify_batch_paired(batch)
-            for row in rows:
-                out.write(row + "\n")
-            tee(batch, rows)
-            met.maybe_emit(pipe.metrics)
+        if pair_src and un_f is None and al_f is None:
+            for rows in pipe.classify_stream_paired(
+                    batches(iter(pair_src), args.batch_size)):
+                for row in rows:
+                    out.write(row + "\n")
+                met.maybe_emit(pipe.metrics)
+        else:
+            for batch in batches(iter(pair_src), args.batch_size):
+                rows = pipe.classify_batch_paired(batch)
+                for row in rows:
+                    out.write(row + "\n")
+                tee(batch, rows)
+                met.maybe_emit(pipe.metrics)
         met.close(pipe.metrics)
     else:
         for rec in unpaired_src:

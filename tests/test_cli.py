@@ -240,3 +240,46 @@ def test_sample_sheet(tmp_path):
     assert r1.read_text() == open(os.path.join(fx, "golden_report.tsv")).read()
     assert r2.read_text() == open(
         os.path.join(fx, "golden_paired_report.tsv")).read()
+
+
+def test_eval_cli(tmp_path):
+    fx = fixture_path("synth")
+    prefix = str(tmp_path / "sim")
+    cmd = [sys.executable, "-c",
+           "import jax; jax.config.update('jax_platforms','cpu');"
+           "import sys; from centrifuge_tpu.cli import eval_cli;"
+           "sys.exit(eval_cli.run_simulate(sys.argv[1:]))",
+           "-x", os.path.join(fx, "db.fa"),
+           "--conversion-table", os.path.join(fx, "conv.dmp"),
+           "-o", prefix, "--num", "100", "--seed", "3"]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=ENV, cwd=REPO)
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(prefix + ".fq")
+
+    # classify then evaluate through the CLI surfaces
+    out = tmp_path / "c.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-U", prefix + ".fq", "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    cmd = [sys.executable, "-c",
+           "import jax; jax.config.update('jax_platforms','cpu');"
+           "import sys; from centrifuge_tpu.cli import eval_cli;"
+           "sys.exit(eval_cli.run_evaluate(sys.argv[1:]))",
+           "-x", os.path.join(fx, "synth"), str(out)]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=ENV, cwd=REPO)
+    assert r.returncode == 0, r.stderr
+    assert "genus\t" in r.stdout
+
+
+def test_paired_streaming_parity(tmp_path):
+    """classify_stream_paired must equal the batch path (golden)."""
+    fx = fixture_path("synth")
+    out = tmp_path / "p.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-1", os.path.join(fx, "reads_1.fq"),
+                 "-2", os.path.join(fx, "reads_2.fq"),
+                 "--batch-size", "256",
+                 "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    golden = open(os.path.join(fx, "golden_paired.tsv")).read()
+    assert out.read_text() == golden
