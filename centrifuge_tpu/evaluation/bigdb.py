@@ -1,0 +1,85 @@
+"""Deterministic production-regime benchmark database.
+
+256 Mbp across 64 synthetic genomes (64 species, 16 genera, 4 domains):
+large enough that the FM index (~90 MB of BWT sides + SA sample) falls
+out of CPU caches, putting the reference C++ engine in its production
+DRAM-latency regime; small enough to build in minutes with SA-IS and fit
+comfortably in one TPU's HBM on the narrow (int32) path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+N_GENOMES = 64
+GENOME_LEN = 4_000_000
+SEED = 20260817
+
+
+def ensure_bigdb(workdir: str, verbose: bool = False) -> str:
+    """Create (or reuse) the benchmark DB + index under workdir.
+
+    Returns the index basename. Files: bigdb.fa, conv.dmp, nodes.dmp,
+    names.dmp, bigdb.{1,2,3,4}.cf, reads_100k.fq.
+    """
+    os.makedirs(workdir, exist_ok=True)
+    base = os.path.join(workdir, "bigdb")
+    if os.path.exists(base + ".1.cf") and os.path.exists(
+            os.path.join(workdir, "reads_100k.fq")):
+        return base
+
+    rng = np.random.default_rng(SEED)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+
+    fa = os.path.join(workdir, "bigdb.fa")
+    conv = os.path.join(workdir, "conv.dmp")
+    nodes = os.path.join(workdir, "nodes.dmp")
+    names = os.path.join(workdir, "names.dmp")
+
+    if not os.path.exists(fa):
+        if verbose:
+            print("generating 256 Mbp database ...", flush=True)
+        with open(fa, "wb") as f, open(conv, "w") as cf:
+            for g in range(N_GENOMES):
+                tid = 1000 + g
+                seq = bases[rng.integers(0, 4, GENOME_LEN)]
+                f.write(b">bseq%d benchmark genome\n" % g)
+                for i in range(0, GENOME_LEN, 80):
+                    f.write(seq[i: i + 80].tobytes() + b"\n")
+                cf.write(f"bseq{g}\t{tid}\n")
+        with open(nodes, "w") as f:
+            f.write("1\t|\t1\t|\tno rank\t|\n")
+            for d in range(4):
+                f.write(f"{10+d}\t|\t1\t|\tsuperkingdom\t|\n")
+            for ge in range(16):
+                f.write(f"{100+ge}\t|\t{10 + ge % 4}\t|\tgenus\t|\n")
+            for s in range(N_GENOMES):
+                f.write(f"{1000+s}\t|\t{100 + s % 16}\t|\tspecies\t|\n")
+        with open(names, "w") as f:
+            f.write("1\t|\troot\t|\t\t|\tscientific name\t|\n")
+            for d in range(4):
+                f.write(f"{10+d}\t|\tBigDomain{d}\t|\t\t|\tscientific name\t|\n")
+            for ge in range(16):
+                f.write(f"{100+ge}\t|\tBigGenus{ge}\t|\t\t|\tscientific name\t|\n")
+            for s in range(N_GENOMES):
+                f.write(f"{1000+s}\t|\tBigSpecies{s}\t|\t\t|\tscientific name\t|\n")
+
+    if not os.path.exists(base + ".1.cf"):
+        if verbose:
+            print("building 256 Mbp index (SA-IS) ...", flush=True)
+        from ..build.builder import build_index
+        build_index([fa], base, conv, nodes, names, verbose=verbose)
+
+    reads = os.path.join(workdir, "reads_100k.fq")
+    if not os.path.exists(reads):
+        if verbose:
+            print("simulating 100k reads ...", flush=True)
+        from .simulate import SimConfig, simulate
+        simulate(fa, conv, os.path.join(workdir, "reads_100k"),
+                 SimConfig(num_fragments=100_000, read_length=100,
+                           error_rate=0.002, seed=7))
+        os.replace(os.path.join(workdir, "reads_100k.fq"), reads) \
+            if os.path.exists(os.path.join(workdir, "reads_100k.fq")) else None
+    return base
