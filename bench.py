@@ -29,7 +29,7 @@ sys.path.insert(0, REPO)
 BASELINE_READS_PER_SEC = 3333.0
 FIXDIR = os.path.join(REPO, "tests", "fixtures", "synth")
 BATCH = 8192
-N_THROUGHPUT_READS = 7 * BATCH  # full batches only: one jit shape set
+N_THROUGHPUT_READS = 3 * BATCH  # full batches only: one jit shape set
 
 
 def main():

@@ -395,7 +395,7 @@ class BatchSearchEngine:
             out = wide
         return out
 
-    FIRST_HITS_CHUNK = 2048
+    FIRST_HITS_CHUNK = 4096
 
     def search_first_hits(self, seqs: List[np.ndarray], offsets: np.ndarray):
         """One partialSearch per lane from the given offsets (extension pass).
