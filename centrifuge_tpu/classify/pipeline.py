@@ -112,6 +112,10 @@ class PipelineConfig:
     # native C++ assignment engine (classify/native); falls back to the
     # Python path automatically if the extension cannot build
     use_native: bool = True
+    # overlap device round-trip waits with host compute via a 2-worker
+    # thread stage; OFF by default because the axon dev tunnel's
+    # compile/execute path is not thread-safe (deadlocks observed)
+    threaded_stream: bool = False
 
 
 def n_filter(seq: np.ndarray, n_ceil_const: float, n_ceil_coef: float) -> bool:

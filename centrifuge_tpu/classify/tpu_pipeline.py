@@ -113,7 +113,17 @@ class TPUClassificationPipeline:
     def classify_stream_unpaired(self, batches) -> "Iterator[List[str]]":
         """Pipelined streaming: the device searches batch N+1 while the
         host finishes batch N (jax dispatch is async; only the transfer
-        blocks). Yields the output rows of each batch in order."""
+        blocks). With the native engine, batches additionally run through
+        a 2-worker thread stage so one batch's device-wait round trips
+        overlap another's host compute (jax fetches and the ctypes calls
+        release the GIL). Output order and the shared metrics/species
+        state stay serialized on the caller's thread."""
+        if self.native is not None and self.cfg.threaded_stream:
+            # NOTE: deadlocks on the axon TPU tunnel (its compile/execute
+            # path is not thread-safe); works on CPU and is expected to
+            # work on directly-attached TPU hosts. Off by default.
+            yield from self._classify_stream_threaded(batches)
+            return
         pending = None  # (recs, passes, units, device_future)
         for recs in batches:
             units = [[(r.seq, r.revcomp())] for r in recs]
@@ -126,6 +136,48 @@ class TPUClassificationPipeline:
             pending = (recs, passes, units, fut)
         if pending is not None:
             yield self._finish_batch(*pending)
+
+    def _classify_stream_threaded(self, batches) -> "Iterator[List[str]]":
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        def work(recs, units, passes, fut):
+            lane_seqs, lane_map, handle = fut
+            if not lane_seqs:
+                return None
+            arrays = self.engine.search_collect(handle, len(lane_seqs))
+            seeds = gen_read_seeds_batch(recs, self.cfg.seed)
+            return self.native.process(
+                arrays, lane_map, lane_seqs, units,
+                [False] * len(units), seeds, self.engine, self.resolver,
+                self.metrics)
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            q = deque()
+
+            def finish(item):
+                recs, passes, fut_res = item
+                res = fut_res.result()
+                if res is None:
+                    return self._emit_rows_preselected(
+                        recs, passes, [[] for _ in recs], [0] * len(recs))
+                per_unit, secbest = res
+                return self._emit_rows_preselected(recs, passes, per_unit,
+                                                   secbest)
+
+            for recs in batches:
+                units = [[(r.seq, r.revcomp())] for r in recs]
+                passes = [n_filter(r.seq, self.cfg.n_ceil_const,
+                                   self.cfg.n_ceil_coef)
+                          and len(r.seq) >= self.cfg.min_read_len
+                          for r in recs]
+                fut = self._dispatch_units(units, passes)
+                q.append((recs, passes,
+                          ex.submit(work, recs, units, passes, fut)))
+                while len(q) > 2:
+                    yield finish(q.popleft())
+            while q:
+                yield finish(q.popleft())
 
     def _dispatch_units(self, units, active):
         """Launch the device search for a batch; returns an opaque handle."""
