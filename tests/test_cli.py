@@ -283,3 +283,31 @@ def test_paired_streaming_parity(tmp_path):
     assert r.returncode == 0, r.stderr
     golden = open(os.path.join(fx, "golden_paired.tsv")).read()
     assert out.read_text() == golden
+
+
+@pytest.mark.parametrize("flags,golden", [
+    ([], "golden_kreport_k20.txt"),
+    (["--no-lca"], "golden_kreport_k20_nolca.txt"),
+    (["--min-score", "1000"], "golden_kreport_minscore.txt"),
+])
+def test_kreport_variants(flags, golden):
+    fx = fixture_path("synth")
+    src = "golden_k20.tsv" if "k20" in golden else "golden_output.tsv"
+    rows = open(os.path.join(fx, src)).read()
+    r = run_cli(["kreport", "-x", os.path.join(fx, "synth")] + flags,
+                input_text=rows)
+    assert r.returncode == 0, r.stderr
+    want = open(os.path.join(fx, golden)).read()
+    assert r.stdout == want
+
+
+def test_classify_paired_k1(tmp_path):
+    fx = fixture_path("synth")
+    out = tmp_path / "pk1.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-1", os.path.join(fx, "reads_1.fq"),
+                 "-2", os.path.join(fx, "reads_2.fq"), "-k", "1",
+                 "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == open(
+        os.path.join(fx, "golden_paired_k1.tsv")).read()
