@@ -30,7 +30,6 @@ import numpy as np
 
 from ..ops.fm_jax import (DeviceFMIndex, bwt_char_kernel, lf_kernel)
 
-NEG = jnp.int32(-1)
 
 
 @dataclass
@@ -325,7 +324,8 @@ class BatchSearchEngine:
     def _run(self, rseq, lengths, start, max_hits, first_hit_only):
         packed = np.asarray(batched_search_packed(
             self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
-            jnp.int32(self.fm.zoff), jnp.asarray(rseq), jnp.asarray(lengths),
+            jnp.asarray(self.fm.zoff, self.fm.row_dtype),
+            jnp.asarray(rseq), jnp.asarray(lengths),
             jnp.asarray(start), min_hitlen=self.min_hitlen,
             increment=self.increment, max_hits=max_hits,
             first_hit_only=first_hit_only))
@@ -345,7 +345,8 @@ class BatchSearchEngine:
         mh = min(self.FIRST_MAX_HITS, lmax)
         packed = batched_search_packed(
             self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
-            jnp.int32(self.fm.zoff), jnp.asarray(rseq), jnp.asarray(lengths),
+            jnp.asarray(self.fm.zoff, self.fm.row_dtype),
+            jnp.asarray(rseq), jnp.asarray(lengths),
             jnp.asarray(start), min_hitlen=self.min_hitlen,
             increment=self.increment, max_hits=mh, first_hit_only=False)
         return (packed, rseq, lengths, mh, lmax, nlanes)

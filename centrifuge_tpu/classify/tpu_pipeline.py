@@ -31,10 +31,6 @@ from .pipeline import (PipelineConfig, ResultFormatter, SpeciesMetrics,
                        n_filter)
 
 
-class _Pending(Exception):
-    """Raised when an extension re-search is not yet in the cache."""
-
-
 def _states_from_arrays(h_top, h_bot, h_off, h_len, nhits, sums, lane,
                         length) -> Tuple[StrandState, int]:
     st = StrandState(length)
@@ -67,7 +63,9 @@ class TPUClassificationPipeline:
         from ..utils.metrics import PerfMetrics
         self.metrics = PerfMetrics()
         self.native = None
-        if self.cfg.use_native:
+        # the native engine caps stored read positions (kmer counting
+        # needs them all), so kmer mode uses the Python path
+        if self.cfg.use_native and not self.cfg.count_kmers:
             try:
                 from ..native.engine import NativeAssigner
                 self.native = NativeAssigner(idx, self.cfg.classifier,
@@ -277,34 +275,22 @@ class TPUClassificationPipeline:
         active = [bool(u) for u in units]
         return units, passes, active, paired_flags
 
-    def _finish_paired(self, pairs, prep, fut) -> List[str]:
-        units, passes, active, paired_flags = prep
-        lane_seqs, lane_map, handle = fut
-        if not lane_seqs:
-            rows = []
-            for (r1, r2), _ in zip(pairs, passes):
-                qlen = len(r1.seq) + len(r2.seq)
-                rows.extend(self.formatter.rows_for_read(
-                    r1.name, qlen, [], 0, self.spm, unclassified=True,
-                    reads=(r1, r2)))
-            return rows
-        arrays = self.engine.search_collect(handle, len(lane_seqs))
-        seeds = np.zeros(len(units), dtype=np.uint32)
+    def _paired_seeds(self, pairs, passes) -> np.ndarray:
+        """Per-pair tie-break seeds, matching the oracle exactly: mate 1's
+        seed is always the base (even when only mate 2 passed the
+        filters), xor'd with mate 2's when both pass
+        (pipeline.py classify_paired / centrifuge.cpp:2503)."""
+        seeds = np.zeros(len(pairs), dtype=np.uint32)
         for ui, ((r1, r2), (p1, p2)) in enumerate(zip(pairs, passes)):
+            if not (p1 or p2):
+                continue
+            s = gen_read_seed(r1.seq, r1.qual, r1.name, self.cfg.seed)
             if p1 and p2:
-                seeds[ui] = (gen_read_seed(r1.seq, r1.qual, r1.name,
-                                           self.cfg.seed)
-                             ^ gen_read_seed(r2.seq, r2.qual, r2.name,
-                                             self.cfg.seed))
-            elif p1:
-                seeds[ui] = gen_read_seed(r1.seq, r1.qual, r1.name,
-                                          self.cfg.seed)
-            elif p2:
-                seeds[ui] = gen_read_seed(r2.seq, r2.qual, r2.name,
-                                          self.cfg.seed)
-        per_unit, secbest = self.native.process(
-            arrays, lane_map, lane_seqs, units, paired_flags, seeds,
-            self.engine, self.resolver, self.metrics)
+                s ^= gen_read_seed(r2.seq, r2.qual, r2.name, self.cfg.seed)
+            seeds[ui] = s
+        return seeds
+
+    def _emit_rows_paired(self, pairs, passes, per_unit, secbest) -> List[str]:
         rows: List[str] = []
         m = self.metrics
         for ui, ((r1, r2), (p1, p2)) in enumerate(zip(pairs, passes)):
@@ -326,70 +312,26 @@ class TPUClassificationPipeline:
         m.batches += 1
         return rows
 
+    def _finish_paired(self, pairs, prep, fut) -> List[str]:
+        units, passes, active, paired_flags = prep
+        lane_seqs, lane_map, handle = fut
+        if not lane_seqs:
+            return self._emit_rows_paired(
+                pairs, passes, [[] for _ in pairs], [0] * len(pairs))
+        arrays = self.engine.search_collect(handle, len(lane_seqs))
+        seeds = self._paired_seeds(pairs, passes)
+        per_unit, secbest = self.native.process(
+            arrays, lane_map, lane_seqs, units, paired_flags, seeds,
+            self.engine, self.resolver, self.metrics)
+        return self._emit_rows_paired(pairs, passes, per_unit, secbest)
+
     def classify_batch_paired(self, pairs: Sequence[Tuple[ReadRec, ReadRec]]
                               ) -> List[str]:
-        units = []
-        passes = []
-        paired_flags = []
-        for r1, r2 in pairs:
-            p1 = n_filter(r1.seq, self.cfg.n_ceil_const, self.cfg.n_ceil_coef) \
-                and len(r1.seq) >= self.cfg.min_read_len
-            p2 = n_filter(r2.seq, self.cfg.n_ceil_const, self.cfg.n_ceil_coef) \
-                and len(r2.seq) >= self.cfg.min_read_len
-            passes.append((p1, p2))
-            if p1 and p2:
-                units.append([(r1.seq, r1.revcomp()), (r2.seq, r2.revcomp())])
-                paired_flags.append(True)
-            elif p1:
-                units.append([(r1.seq, r1.revcomp())])
-                paired_flags.append(False)
-            elif p2:
-                units.append([(r2.seq, r2.revcomp())])
-                paired_flags.append(False)
-            else:
-                units.append([])
-                paired_flags.append(False)
-        active = [bool(u) for u in units]
+        prep = self._prep_paired(pairs)
+        units, passes, active, paired_flags = prep
         if self.native is not None and any(active):
             fut = self._dispatch_units(units, active)
-            lane_seqs, lane_map, handle = fut
-            arrays = self.engine.search_collect(handle, len(lane_seqs))
-            seeds = np.zeros(len(units), dtype=np.uint32)
-            for ui, ((r1, r2), (p1, p2)) in enumerate(zip(pairs, passes)):
-                if p1 and p2:
-                    seeds[ui] = (gen_read_seed(r1.seq, r1.qual, r1.name,
-                                               self.cfg.seed)
-                                 ^ gen_read_seed(r2.seq, r2.qual, r2.name,
-                                                 self.cfg.seed))
-                elif p1:
-                    seeds[ui] = gen_read_seed(r1.seq, r1.qual, r1.name,
-                                              self.cfg.seed)
-                elif p2:
-                    seeds[ui] = gen_read_seed(r2.seq, r2.qual, r2.name,
-                                              self.cfg.seed)
-            per_unit, secbest = self.native.process(
-                arrays, lane_map, lane_seqs, units, paired_flags, seeds,
-                self.engine, self.resolver, self.metrics)
-            rows: List[str] = []
-            m = self.metrics
-            for ui, ((r1, r2), (p1, p2)) in enumerate(zip(pairs, passes)):
-                qlen = len(r1.seq) + len(r2.seq)
-                chosen = per_unit[ui] if (p1 or p2) else []
-                sb = secbest[ui] if (p1 or p2) else 0
-                m.reads += 1
-                m.bases += qlen
-                if not (p1 or p2):
-                    m.filtered += 1
-                if chosen:
-                    m.reads_classified += 1
-                    m.assignments += len(chosen)
-                else:
-                    m.reads_unclassified += 1
-                rows.extend(self.formatter.rows_for_read(
-                    r1.name, qlen, chosen, sb, self.spm,
-                    unclassified=not chosen, reads=(r1, r2)))
-            m.batches += 1
-            return rows
+            return self._finish_paired(pairs, prep, fut)
         results = self._classify_units(units, active,
                                        paired=None, paired_flags=paired_flags)
         rows: List[str] = []
@@ -475,19 +417,23 @@ class TPUClassificationPipeline:
                 local_miss: List[Tuple[int, int, int, int]] = []
 
                 def do_search(si, off, _ui=ui, _mi=mi):
+                    # on a miss, record the key and return a harmless
+                    # empty hit (never adopted: its length can't match)
+                    # so the whole attempt's misses batch in one round
                     k = (_ui, _mi, si, off)
-                    if k in cache:
-                        return cache[k]
+                    hit = cache.get(k)
+                    if hit is not None:
+                        return hit
                     local_miss.append(k)
-                    raise _Pending
+                    return PartialHit(OFF_MASK, OFF_MASK, OFF_MASK, 0)
 
-                try:
-                    extend_and_filter(do_search, len(seqs[0]), states, sums,
-                                      cfg.min_hitlen, cls.ihits)
-                    final_states[key] = states
-                except _Pending:
+                extend_and_filter(do_search, len(seqs[0]), states, sums,
+                                  cfg.min_hitlen, cls.ihits)
+                if local_miss:
                     misses.extend(local_miss)
                     still.append(key)
+                else:
+                    final_states[key] = states
             if not misses:
                 break
             mseqs = [units[ui][mi][si] for (ui, mi, si, off) in misses]
@@ -509,7 +455,7 @@ class TPUClassificationPipeline:
         def make_recorder():
             def rec(top, bot, nelt):
                 requests.append((top, nelt))
-                return list(range(nelt))  # dummy values, never reported
+                return [0] * nelt  # dummy values, never reported
             return rec
 
         unit_mates = {}
