@@ -311,3 +311,17 @@ def test_classify_paired_k1(tmp_path):
     assert r.returncode == 0, r.stderr
     assert out.read_text() == open(
         os.path.join(fx, "golden_paired_k1.tsv")).read()
+
+
+@pytest.mark.parametrize("flag,reads,golden", [
+    ("--qseq", "reads.qseq", "golden_qseq.tsv"),
+    ("-r", "reads.raw", "golden_raw.tsv"),
+])
+def test_input_format_parity(tmp_path, flag, reads, golden):
+    fx = fixture_path("synth")
+    out = tmp_path / "o.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"), flag,
+                 "-U", os.path.join(fx, reads),
+                 "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == open(os.path.join(fx, golden)).read()
