@@ -325,3 +325,40 @@ def test_input_format_parity(tmp_path, flag, reads, golden):
                  "-S", str(out), "--report-file", ""])
     assert r.returncode == 0, r.stderr
     assert out.read_text() == open(os.path.join(fx, golden)).read()
+
+
+@pytest.mark.parametrize("flag,golden", [
+    ("-n", "names"), ("-s", "summary"),
+    ("--conversion-table", "conv"), ("--taxonomy-tree", "tree"),
+    ("--name-table", "nametab"), ("--size-table", "sizetab"),
+])
+def test_inspect_byte_parity(flag, golden):
+    """Every inspect dump must byte-match the reference binary's output
+    (goldens in fixtures/synth/inspect/ generated by centrifuge-inspect-bin)."""
+    fx = fixture_path("synth")
+    r = run_cli(["inspect", flag, os.path.join(fx, "synth")])
+    assert r.returncode == 0, r.stderr
+    want = open(os.path.join(fx, "inspect", f"golden_{golden}.txt")).read()
+    assert r.stdout == want
+
+
+def test_inspect_fasta_byte_parity():
+    """Default FASTA reconstruction byte-matches the reference binary
+    (equivalently: db.fa re-wrapped at 60 chars/line)."""
+    fx = fixture_path("synth")
+    lines = []
+    seq = []
+    for line in open(os.path.join(fx, "db.fa")):
+        if line.startswith(">"):
+            if seq:
+                s = "".join(seq)
+                lines += [s[i:i+60] for i in range(0, len(s), 60)]
+            lines.append(line.rstrip("\n"))
+            seq = []
+        else:
+            seq.append(line.strip())
+    s = "".join(seq)
+    lines += [s[i:i+60] for i in range(0, len(s), 60)]
+    want = "\n".join(lines) + "\n"
+    r = run_cli(["inspect", os.path.join(fx, "synth")])
+    assert r.stdout == want
