@@ -362,3 +362,15 @@ def test_inspect_fasta_byte_parity():
     want = "\n".join(lines) + "\n"
     r = run_cli(["inspect", os.path.join(fx, "synth")])
     assert r.stdout == want
+
+
+def test_custom_columns_parity(tmp_path):
+    """--tab-fmt-cols with taxRank/taxName/readSeq vs reference golden."""
+    fx = fixture_path("synth")
+    out = tmp_path / "cols.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-U", os.path.join(fx, "reads.fq"), "-u", "300",
+                 "--tab-fmt-cols", "readID,taxID,taxRank,taxName,score,readSeq",
+                 "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == open(os.path.join(fx, "golden_cols.tsv")).read()
