@@ -1,8 +1,9 @@
-"""`centrifuge-promote` CLI (the reference's Perl script).
+"""`centrifuge-promote` CLI (the reference's Perl script, byte-parity).
 
-Re-maps each classification row's taxID to the requested rank (walking
-up the taxonomy), or to the per-read LCA of multiple assignments when
-rank is 'lca' (centrifuge-promote:12-175).
+Re-maps each read's assignments to the requested rank (walking up the
+taxonomy), dedupes same-target rows per read, rewrites the seqID column
+to the target's rank string, and refreshes numMatches; rank 'lca'
+collapses each read's rows to their LCA (centrifuge-promote:43-175).
 """
 
 from __future__ import annotations
@@ -25,86 +26,106 @@ def make_parser() -> argparse.ArgumentParser:
 def run(argv: List[str]) -> int:
     args = make_parser().parse_args(argv)
     from ..index.cf_io import load_cf_index
-    from ..index.taxonomy import rank_id
+    from ..index.taxonomy import rank_string
 
     idx = load_cf_index(args.index, load_sa_sample=False)
-    tree = idx.taxonomy.tree
+    # the Perl script builds these from `centrifuge-inspect
+    # --taxonomy-tree` output: tid -> rank string, tid -> parent
+    tax_level: Dict[int, str] = {}
+    tax_parent: Dict[int, int] = {}
+    for tid, node in idx.taxonomy.tree.items():
+        tax_level[tid] = rank_string(node.rank)
+        tax_parent[tid] = node.parent
 
-    def parent(t: int) -> int:
-        node = tree.get(t)
-        return node.parent if node else t
+    level = args.rank
 
-    def at_rank(t: int, rank: int) -> int:
+    def promote(tid: int) -> int:
         seen = set()
-        while t not in seen:
-            seen.add(t)
-            node = tree.get(t)
-            if node is None:
-                return t
-            if node.rank == rank:
-                return t
-            if node.parent == t:
-                return t
-            t = node.parent
-        return t
+        while True:
+            if tid <= 0 or tid not in tax_level:
+                return 0
+            if tax_level[tid] == level:
+                return tid
+            if tid <= 1 or tid in seen:
+                return 0
+            seen.add(tid)
+            tid = tax_parent.get(tid, 0)
 
     def lca(a: int, b: int) -> int:
         if a == 0:
             return b
         if b == 0:
             return a
+        if a == b:
+            return a
         apath = set()
         t = a
-        while t not in apath:
+        while t >= 1:
             apath.add(t)
-            if parent(t) == t:
+            if t not in tax_parent or t == tax_parent[t]:
                 break
-            t = parent(t)
+            t = tax_parent[t]
         t = b
-        while t not in apath:
-            if parent(t) == t:
-                return 1
-            t = parent(t)
-        return t
+        while t > 1:
+            if t in apath:
+                return t
+            if t not in tax_parent or t == tax_parent[t]:
+                break
+            t = tax_parent[t]
+        return 1
 
+    out = sys.stdout
     f = sys.stdin if args.input == "-" else open(args.input)
-    header = f.readline().rstrip("\n")
-    cols = header.split("\t")
-    col = {c: i for i, c in enumerate(cols)}
-    print(header)
+    header = f.readline()
+    out.write(header)
 
-    if args.rank == "lca":
-        pending: List[List[str]] = []
+    def flush(lines: List[str]) -> None:
+        if not lines:
+            return
+        new_lines: List[List[str]] = []
+        if level != "lca":
+            showed = set()
+            for line in lines:
+                cols = line.split("\t")
+                tid = int(cols[2].split(".")[0])
+                new_tid = promote(tid)
+                if new_tid <= 1:
+                    new_tid = tid
+                new_level = cols[1]
+                if new_tid >= 1 and new_tid in tax_level:
+                    new_level = tax_level[new_tid]
+                if new_tid in showed:
+                    continue
+                showed.add(new_tid)
+                cols[2] = str(new_tid)
+                cols[1] = new_level
+                new_lines.append(cols)
+        else:
+            t = int(lines[0].split("\t")[2].split(".")[0])
+            for line in lines[1:]:
+                t = lca(t, int(line.split("\t")[2].split(".")[0]))
+            cols = lines[0].split("\t")
+            if str(t) != cols[2] and t in tax_level:
+                cols[1] = tax_level[t]
+            cols[2] = str(t)
+            new_lines.append(cols)
+        nmatches = len(new_lines)
+        for cols in new_lines:
+            cols[-1] = str(nmatches)
+            out.write("\t".join(cols) + "\n")
 
-        def flush():
-            if not pending:
-                return
-            t = 0
-            for row in pending:
-                t = lca(t, int(row[col["taxID"]].split(".")[0]))
-            row = list(pending[0])
-            row[col["taxID"]] = str(t)
-            if "numMatches" in col:
-                row[col["numMatches"]] = "1"
-            print("\t".join(row))
-            pending.clear()
-
-        prev = None
-        for line in f:
-            parts = line.rstrip("\n").split("\t")
-            rid = parts[col["readID"]]
-            if prev is not None and rid != prev:
-                flush()
-            pending.append(parts)
+    prev = ""
+    group: List[str] = []
+    for line in f:
+        line = line.rstrip("\n")
+        rid = line.split("\t", 1)[0]
+        if rid == prev:
+            group.append(line)
+        else:
             prev = rid
-        flush()
-    else:
-        rank = rank_id(args.rank)
-        for line in f:
-            parts = line.rstrip("\n").split("\t")
-            tid = int(parts[col["taxID"]].split(".")[0])
-            parts[col["taxID"]] = str(at_rank(tid, rank))
-            print("\t".join(parts))
+            flush(group)
+            group = [line]
+    flush(group)
     if f is not sys.stdin:
         f.close()
     return 0

@@ -374,3 +374,16 @@ def test_custom_columns_parity(tmp_path):
                  "-S", str(out), "--report-file", ""])
     assert r.returncode == 0, r.stderr
     assert out.read_text() == open(os.path.join(fx, "golden_cols.tsv")).read()
+
+
+@pytest.mark.parametrize("rank,src,golden", [
+    ("species", "golden_output.tsv", "golden_promote_species.tsv"),
+    ("lca", "golden_k20.tsv", "golden_promote_lca.tsv"),
+])
+def test_promote_byte_parity(rank, src, golden):
+    """Promote output must byte-match the reference Perl script."""
+    fx = fixture_path("synth")
+    r = run_cli(["promote", os.path.join(fx, "synth"),
+                 os.path.join(fx, src), rank])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == open(os.path.join(fx, golden)).read()
