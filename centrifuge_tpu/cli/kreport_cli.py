@@ -47,24 +47,24 @@ def run(argv: List[str]) -> int:
                 with open(path) as f:
                     yield from f
 
+    precounted = None
     if args.is_count_table:
-        rows = ["readID\tseqID\ttaxID\tscore\t2ndBestScore\thitLength\t"
-                "queryLength\tnumMatches"]
+        precounted = {}
         for line in lines():
             parts = line.split()
             if len(parts) < 2:
                 continue
-            tid, count = parts[0], int(parts[1])
-            rows.extend(
-                f"r\t-\t{tid}\t0\t0\t0\t0\t1" for _ in range(count))
-        src = iter(rows)
+            tid = int(parts[0].split(".")[0])
+            precounted[tid] = precounted.get(tid, 0.0) + float(parts[1])
+        src = iter(())
     else:
         src = lines()
 
     for line in kreport_lines(idx, src, no_lca=args.no_lca,
                               min_score=args.min_score,
                               min_length=args.min_length,
-                              show_zeros=args.show_zeros):
+                              show_zeros=args.show_zeros,
+                              precounted=precounted):
         print(line)
     return 0
 

@@ -55,7 +55,8 @@ def write_report(path: str, idx: CFIndex, spm, abundance_analysis: bool = True,
 def kreport_lines(idx: CFIndex, classification_rows: Iterable[str],
                   no_lca: bool = False, min_score: Optional[int] = None,
                   min_length: Optional[int] = None,
-                  show_zeros: bool = False) -> List[str]:
+                  show_zeros: bool = False,
+                  precounted: Optional[Dict[int, float]] = None) -> List[str]:
     """Generate a Kraken-style report from classification TSV lines.
 
     Reimplements the centrifuge-kreport script (centrifuge-kreport:65-229):
@@ -112,6 +113,13 @@ def kreport_lines(idx: CFIndex, classification_rows: Iterable[str],
 
     taxo_counts: Dict[int, float] = {0: 0}
     seq_count = 0.0
+    if precounted is not None:
+        # --is-count-table mode: taxID -> count rows straight in
+        # (centrifuge-kreport:72-78)
+        for tid, count in precounted.items():
+            taxo_counts[tid] = count
+            seq_count += count
+        classification_rows = iter(())
     header: Optional[List[str]] = None
     col: Dict[str, int] = {}
     prev_read = None

@@ -387,3 +387,14 @@ def test_promote_byte_parity(rank, src, golden):
                  os.path.join(fx, src), rank])
     assert r.returncode == 0, r.stderr
     assert r.stdout == open(os.path.join(fx, golden)).read()
+
+
+def test_kreport_count_table_parity():
+    """--is-count-table mode vs reference golden."""
+    fx = fixture_path("synth")
+    counts = open(os.path.join(fx, "counts.tsv")).read()
+    r = run_cli(["kreport", "-x", os.path.join(fx, "synth"),
+                 "--is-count-table"], input_text=counts)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == open(
+        os.path.join(fx, "golden_kreport_counts.txt")).read()
