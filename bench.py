@@ -4,19 +4,27 @@
 Two phases:
   1. parity check -- the 3000 fixture reads must produce byte-identical
      output to the reference golden TSV (correctness gate);
-  2. throughput -- 30k deterministic simulated reads (our evaluation
-     simulator, fixed seed) streamed through the pipelined TPU engine.
+  2. throughput -- 24k deterministic simulated reads (our evaluation
+     simulator, fixed seed) streamed through the pipelined TPU engine,
+     repeated 3x; the reported number is the MEDIAN run (the axon tunnel
+     has >2x run-to-run variance).
 
 Prints ONE JSON line with phase-2 reads/sec.
 
-Baseline: the reference publishes only qualitative numbers ("millions of
-reads ... within a few minutes" on a desktop, README.md:11-15). We take
-1M reads / 300 s ~= 3333 reads/s as the 8-thread CPU centrifuge estimate
-recorded in BASELINE.md; vs_baseline is measured/3333.
+Baselines (BASELINE.md, measured on this host, round 1):
+  * reference C++ centrifuge at -p 4 on the same 1 Mbp synth workload:
+    ~167k reads/s ("ref_cpu_local" below);
+  * the published "millions of reads within a few minutes on a desktop"
+    claim (README.md:11-15) ~= 3333 reads/s, kept as vs_baseline for
+    continuity with earlier rounds.
+
+Both phases share ONE compiled kernel shape (lane/lmax floors): compiles
+through the tunnel cost 1-3 min each and are not cached across processes.
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -27,9 +35,17 @@ sys.path.insert(0, REPO)
 # compile path hangs indefinitely when the persistent cache is active.
 
 BASELINE_READS_PER_SEC = 3333.0
+REF_CPU_LOCAL = 167000.0
 FIXDIR = os.path.join(REPO, "tests", "fixtures", "synth")
 BATCH = 8192
 N_THROUGHPUT_READS = 3 * BATCH  # full batches only: one jit shape set
+TRIALS = 3
+
+
+def _share_shapes(pipe):
+    # both phases run at (16384 lanes, lmax 256): one compile total
+    pipe.engine.lane_bucket_lo = 2 * BATCH
+    pipe.engine.lmax_lo = 256
 
 
 def main():
@@ -43,6 +59,7 @@ def main():
     # ---- phase 1: byte parity on the fixture reads ----
     fixture_reads = read_batch([os.path.join(FIXDIR, "reads.fq")])
     pipe = TPUClassificationPipeline(idx)
+    _share_shapes(pipe)
     rows = [pipe.formatter.header()]
     for chunk in pipe.classify_stream_unpaired(
             fixture_reads[i: i + BATCH]
@@ -51,11 +68,9 @@ def main():
     golden = open(os.path.join(FIXDIR, "golden_output.tsv")).read().splitlines()
     parity_ok = rows == golden
 
-    # ---- phase 2: throughput on 30k simulated reads ----
+    # ---- phase 2: throughput on 24k simulated reads, median of 3 ----
     sim_prefix = os.path.join("/tmp", "cftpu_bench_sim")
     if not os.path.exists(sim_prefix + ".fq"):
-        # 150bp reads land in the same jit shape bucket as the fixture
-        # reads, so phases 1 and 2 share compiles
         simulate(os.path.join(FIXDIR, "db.fa"),
                  os.path.join(FIXDIR, "conv.dmp"), sim_prefix,
                  SimConfig(num_fragments=N_THROUGHPUT_READS,
@@ -64,28 +79,33 @@ def main():
     n_full = (len(reads) // BATCH) * BATCH
     reads = reads[:n_full]
 
-    # warmup at production shapes (jit compiles), then measure
+    # warmup at the shared shape (phase 1 already compiled it; this warms
+    # the 150bp data path itself)
     pipe = TPUClassificationPipeline(idx)
+    _share_shapes(pipe)
     for _ in pipe.classify_stream_unpaired(
-            reads[i: i + BATCH] for i in range(0, 2 * BATCH, BATCH)):
+            reads[i: i + BATCH] for i in range(0, BATCH, BATCH)):
         pass
 
-    pipe = TPUClassificationPipeline(idx)
-    t0 = time.perf_counter()
-    n_rows = 0
-    for chunk in pipe.classify_stream_unpaired(
-            reads[i: i + BATCH] for i in range(0, len(reads), BATCH)):
-        n_rows += len(chunk)
-    dt = time.perf_counter() - t0
+    runs = []
+    for _ in range(TRIALS):
+        pipe = TPUClassificationPipeline(idx)
+        _share_shapes(pipe)
+        t0 = time.perf_counter()
+        for chunk in pipe.classify_stream_unpaired(
+                reads[i: i + BATCH] for i in range(0, len(reads), BATCH)):
+            pass
+        runs.append(len(reads) / (time.perf_counter() - t0))
 
-    rps = len(reads) / dt
+    rps = statistics.median(runs)
     print(json.dumps({
         "metric": "reads_per_sec_e2e_synth",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+        "vs_ref_cpu_local": round(rps / REF_CPU_LOCAL, 3),
+        "runs": [round(r, 1) for r in runs],
         "reads": len(reads),
-        "seconds": round(dt, 3),
         "parity_ok": parity_ok,
         "native_engine": pipe.native is not None,
     }))

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fm_jax import (DeviceFMIndex, bwt_char_kernel, lf_kernel)
+from ..ops.fm_jax import (DeviceFMIndex, bwt_char_kernel, fused_step_lookup,
+                          lf_kernel)
 
 
 
@@ -36,13 +37,16 @@ from ..ops.fm_jax import (DeviceFMIndex, bwt_char_kernel, lf_kernel)
 class FMKernels:
     """The device primitives the search loop needs.
 
-    ftab_lookup: int32[B] packed-window ids -> (top[B], bot[B]);
-                 ONE gather over the stacked (n, 2) table.
+    step_lookup: (starting[L], fi[L], rows_t[L], rows_b[L], chars[L]) ->
+                 (ftop, fbot, lf_t, lf_b, topchar); ONE gather serving
+                 both the ftab prime (starting lanes) and the LF rank
+                 (extending lanes) -- gathers are row-count-bound on TPU,
+                 so folding the ftab into the block-row gather removes an
+                 entire gather from the hot step. When None, the loop
+                 composes ftab_lookup + lf_pair (the sharded path).
+    ftab_lookup: int32[B] packed-window ids -> (top[B], bot[B]).
     lf_pair:     (rows_t[B], rows_b[B], chars[B]) ->
-                 (LF(top,c)[B], LF(bot,c)[B], BWT[top][B]);
-                 ONE gather over the concatenated 2B rows -- each
-                 gather op costs ~fixed latency on TPU, so merging the
-                 top/bot/char lookups halves the per-step op count.
+                 (LF(top,c)[B], LF(bot,c)[B], BWT[top][B]).
     lf/bwt_char: single-row variants (used by the resolver path).
     zoff:        the '$' row (traced scalar ok)
     """
@@ -54,6 +58,7 @@ class FMKernels:
     zoff: jnp.ndarray
     num_ftab: int
     row_dtype: object = jnp.int32
+    step_lookup: Callable = None
 
 
 def _precompute_windows(rseq: jax.Array, ftab_chars: int):
@@ -75,9 +80,30 @@ def _precompute_windows(rseq: jax.Array, ftab_chars: int):
     return fi, first_n
 
 
+def _pack_read_table(rseq: jax.Array, ftab_chars: int):
+    """Pack (char, firstn, fi) per position into ONE int32:
+    bits 0-2 char, 3-6 firstN, 7-26 ftab window.
+
+    Rows of 8 positions so the per-step positional read is a row gather
+    (L rows of 32 B) + a fused 8-way column select instead of a scalar
+    gather. Returns (table[(L*Pw8), 8], Pw8).
+    """
+    L, P = rseq.shape
+    fi_tab, firstn_tab = _precompute_windows(rseq, ftab_chars)
+    pad = jnp.zeros((L, ftab_chars), jnp.int32)
+    fi_full = jnp.concatenate([fi_tab, pad], axis=1)
+    fn_full = jnp.concatenate([firstn_tab, pad], axis=1)
+    val = jnp.clip(rseq, 0, 7) | (fn_full << 3) | (fi_full << 7)
+    Pw = ((P + 7) // 8) * 8
+    if Pw != P:
+        val = jnp.concatenate(
+            [val, jnp.zeros((L, Pw - P), jnp.int32)], axis=1)
+    return val.reshape(L * (Pw // 8), 8), Pw // 8
+
+
 def search_loop(kern: FMKernels, rseq, lengths, start_cur,
                 min_hitlen: int, increment: int, max_hits: int,
-                first_hit_only: bool, unroll: int = 4):
+                first_hit_only: bool, unroll: int = 8):
     """Run the full per-strand greedy scan for every lane.
 
     rseq: (L, Lmax + fc) int32 reversed+padded reads.
@@ -88,20 +114,15 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
     The loop body is a pure per-lane state transition that is a no-op on
     done lanes, so unrolling it `unroll` times per while_loop iteration
     preserves semantics exactly while amortizing the per-iteration
-    dispatch overhead (the scan runs hundreds of tiny steps otherwise).
+    overhead (~50 us per while_loop iteration on this backend). unroll=16
+    runs marginally faster but doubles the (uncached, ~60 s per shape)
+    tunnel compile; 8 is the compile/runtime sweet spot.
     """
     fc = 10  # ftab_chars; geometry fixed by the index format default
     L, P = rseq.shape
-    fi_tab, firstn_tab = _precompute_windows(rseq, fc)
-    # pack [char, fi, firstn] per position into one (L, P, 3) table so a
-    # step reads ONE gathered (L, 3) row instead of three separate
-    # gathers (fi/firstn padded on the right; those positions are only
-    # reachable by extending lanes, which use just the char column)
-    pad = jnp.zeros((L, fc), jnp.int32)
-    rtab = jnp.stack([rseq,
-                      jnp.concatenate([fi_tab, pad], axis=1),
-                      jnp.concatenate([firstn_tab, pad], axis=1)], axis=2)
+    rtab, Pw8 = _pack_read_table(rseq, fc)
     lanes = jnp.arange(L, dtype=jnp.int32)
+    slot_idx = jnp.arange(max_hits, dtype=jnp.int32)[None, :]
     idt = kern.row_dtype  # int64 on the wide (>2^31 bases) path
 
     state = dict(
@@ -114,7 +135,7 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         bot=jnp.zeros(L, idt),
         nhits=jnp.zeros(L, jnp.int32),
         sums=jnp.zeros(L, jnp.int32),
-        # [top, bot, off, len] per hit slot; single scatter per step
+        # [top, bot, off, len] per hit slot; one-hot select per step
         h_all=jnp.tile(jnp.array([-1, -1, 0, 0], idt),
                        (L, max_hits, 1)),
     )
@@ -129,20 +150,35 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         starting = active & (mode == 0)
         extending = active & (mode == 1)
 
-        # one positional gather: starters read [fi, firstn] at cur,
+        # one positional row gather: starters read [fi, firstn] at cur,
         # extenders read the char at dep
         dep, top, bot = s["dep"], s["top"], s["bot"]
-        pos = jnp.where(starting, cur, dep)
-        row3 = rtab[lanes, jnp.clip(pos, 0, P - 1)]        # (L, 3)
-        c = row3[:, 0]
-        fi = jnp.clip(row3[:, 1], 0, kern.num_ftab - 1)
-        fN = row3[:, 2]
+        pos = jnp.clip(jnp.where(starting, cur, dep), 0, P - 1)
+        rrow = rtab[lanes * Pw8 + (pos >> 3)]              # (L, 8)
+        v = jnp.where((jnp.arange(8, dtype=jnp.int32)[None, :]
+                       == (pos & 7)[:, None]), rrow, 0).sum(
+                           axis=1, dtype=jnp.int32)
+        c = v & 7
+        fi = v >> 7
+        fN = (v >> 3) & 15
+
+        # ---------------- merged device lookup ----------------
+        at_end_pre = extending & (dep >= n)
+        stepping = extending & (dep < n)
+        cq = jnp.clip(c, 0, 3)
+        rows_t = jnp.where(stepping, top, 0)
+        rows_b = jnp.where(stepping, bot, 0)
+        if kern.step_lookup is not None:
+            ftop, fbot, t2, b2_full, topchar = kern.step_lookup(
+                starting, fi, rows_t, rows_b, cq)
+        else:
+            ftop, fbot = kern.ftab_lookup(fi)
+            t2, b2_full, topchar = kern.lf_pair(rows_t, rows_b, cq)
 
         # ---------------- start phase ----------------
         left = n - cur
         case_a = starting & (left < fc)
         case_b = starting & ~case_a & (fN < fc)
-        ftop, fbot = kern.ftab_lookup(fi)
         case_c_empty = starting & ~case_a & ~case_b & (fbot <= ftop)
         case_c_go = starting & ~case_a & ~case_b & (fbot > ftop)
 
@@ -151,12 +187,7 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         start_emit = case_a | case_b | case_c_empty
 
         # ---------------- extend phase ----------------
-        at_end = extending & (dep >= n)
-        stepping = extending & (dep < n)
-        cq = jnp.clip(c, 0, 3)
-        rows_t = jnp.where(stepping, top, 0)
-        rows_b = jnp.where(stepping, bot, 0)
-        t2, b2_full, topchar = kern.lf_pair(rows_t, rows_b, cq)
+        at_end = at_end_pre
         single = (bot - top) == 1
         b2 = jnp.where(single, t2 + 1, b2_full)
         fail = stepping & (
@@ -177,9 +208,10 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         slot = jnp.clip(s["nhits"], 0, max_hits - 1)
         rec = jnp.stack([e_top, e_bot, e_off.astype(idt),
                          e_len.astype(idt)], axis=1)            # (L, 4)
-        old = s["h_all"][lanes, slot]
-        h_all = s["h_all"].at[lanes, slot].set(
-            jnp.where(emit[:, None], rec, old))
+        # one-hot select instead of scatter: XLA's dynamic scatter
+        # serializes on TPU; this is a fused full-buffer where
+        sel = (slot_idx == slot[:, None]) & emit[:, None]
+        h_all = jnp.where(sel[:, :, None], rec[:, None, :], s["h_all"])
         nhits = s["nhits"] + emit.astype(jnp.int32)
         sums = s["sums"] + jnp.where(emit & (e_len >= min_hitlen), e_len, 0)
 
@@ -219,8 +251,13 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
             out["nhits"], out["sums"])
 
 
-def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff) -> FMKernels:
-    """Single-device kernel set: plain gathers into replicated arrays."""
+def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
+                   nblk: int = None) -> FMKernels:
+    """Single-device kernel set: plain gathers into replicated arrays.
+
+    When `nblk` is given, fm_blocks is the unified table (blocks + packed
+    ftab rows, ops/fm_jax.DeviceFMIndex.ufm) and the hot step uses ONE
+    fused gather for ftab + LF (fused_step_lookup)."""
     from ..ops.fm_jax import WORDS_PER_BLOCK, rank_in_block
     word_off = 8 if fm_blocks.shape[1] == 8 + WORDS_PER_BLOCK else 4
 
@@ -242,6 +279,12 @@ def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff) -> FMKernels:
                    ).astype(jnp.int32)
         return lf[:B], lf[B:], topchar
 
+    step_lookup = None
+    if nblk is not None:
+        def step_lookup(starting, fi, rows_t, rows_b, chars):
+            return fused_step_lookup(fm_blocks, nblk, fm_fchr, zoff,
+                                     starting, fi, rows_t, rows_b, chars)
+
     return FMKernels(
         ftab_lookup=ftab_lookup,
         lf_pair=lf_pair,
@@ -250,39 +293,196 @@ def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff) -> FMKernels:
         zoff=zoff,
         num_ftab=fm_ftab_tb.shape[0],
         row_dtype=fm_ftab_tb.dtype,
+        step_lookup=step_lookup,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("min_hitlen", "increment",
-                                             "max_hits", "first_hit_only"))
+                                             "max_hits", "first_hit_only",
+                                             "nblk"))
 def batched_search(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                    rseq, lengths, start_cur,
                    min_hitlen: int, increment: int, max_hits: int,
-                   first_hit_only: bool):
+                   first_hit_only: bool, nblk: int = None):
     """Single-chip full scan over all lanes (see search_loop)."""
-    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff)
-    return search_loop(kern, rseq, lengths, start_cur, min_hitlen,
-                       increment, max_hits, first_hit_only)
+    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk)
+    return search_loop(kern, rseq.astype(jnp.int32), lengths, start_cur,
+                       min_hitlen, increment, max_hits, first_hit_only)
 
 
-@functools.partial(jax.jit, static_argnames=("min_hitlen", "increment",
-                                             "max_hits", "first_hit_only"))
-def batched_search_packed(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
-                          rseq, lengths, start_cur,
-                          min_hitlen: int, increment: int, max_hits: int,
-                          first_hit_only: bool):
-    """As batched_search, but packs all outputs into ONE (L, 4*mh+2)
-    int32 array on device: [h_top | h_bot | h_off | h_len | nhits | sums].
-    A single device->host transfer matters when the device sits behind a
-    network tunnel with per-fetch latency."""
-    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff)
-    h_top, h_bot, h_off, h_len, nhits, sums = search_loop(
-        kern, rseq, lengths, start_cur, min_hitlen, increment, max_hits,
-        first_hit_only)
-    idt = kern.row_dtype
+def _pack_search_outputs(h_top, h_bot, h_off, h_len, nhits, sums, idt,
+                         compact: bool):
+    """Pack the 6 per-lane outputs into one array for a single fetch.
+
+    compact (narrow path, reads < 16 kbp): off/len and nhits/sums pairs
+    share an int32 word -> (L, 3*mh+1) int32, ~25% fewer bytes over a
+    ~17 MB/s tunnel download. Otherwise (L, 4*mh+2) in the row dtype."""
+    if compact:
+        offlen = ((h_off.astype(jnp.int32) << 16)
+                  | h_len.astype(jnp.int32))
+        ns = ((nhits << 16) | sums).astype(jnp.int32)
+        return jnp.concatenate(
+            [h_top.astype(jnp.int32), h_bot.astype(jnp.int32), offlen,
+             ns[:, None]], axis=1)
     return jnp.concatenate(
         [h_top, h_bot, h_off, h_len,
          nhits.astype(idt)[:, None], sums.astype(idt)[:, None]], axis=1)
+
+
+def _unpack_search_outputs(packed: np.ndarray, mh: int, compact: bool):
+    """Host-side inverse of _pack_search_outputs."""
+    m = mh
+    if compact:
+        ol = packed[:, 2 * m:3 * m]
+        ns = packed[:, 3 * m]
+        return [packed[:, :m], packed[:, m:2 * m],
+                (ol >> 16) & 0xFFFF, ol & 0xFFFF,
+                (ns >> 16) & 0xFFFF, ns & 0xFFFF]
+    return [packed[:, :m], packed[:, m:2 * m], packed[:, 2 * m:3 * m],
+            packed[:, 3 * m:4 * m], packed[:, 4 * m], packed[:, 4 * m + 1]]
+
+
+@functools.partial(jax.jit, static_argnames=("min_hitlen", "increment",
+                                             "max_hits", "first_hit_only",
+                                             "nblk", "compact"))
+def batched_search_packed(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
+                          rseq, lengths, start_cur,
+                          min_hitlen: int, increment: int, max_hits: int,
+                          first_hit_only: bool, nblk: int = None,
+                          compact: bool = False):
+    """As batched_search, but packs all outputs into ONE array on device
+    (see _pack_search_outputs). A single small device->host transfer
+    matters when the device sits behind a network tunnel."""
+    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk)
+    h_top, h_bot, h_off, h_len, nhits, sums = search_loop(
+        kern, rseq.astype(jnp.int32), lengths, start_cur, min_hitlen,
+        increment, max_hits, first_hit_only)
+    return _pack_search_outputs(h_top, h_bot, h_off, h_len, nhits, sums,
+                                kern.row_dtype, compact)
+
+
+def _presolve_pick_rows(h_top, h_bot, h_len, khits: int, ihits: int,
+                        min_hitlen: int, rk: int, idt):
+    """Predict, per mate, which SA rows the classifier will resolve.
+
+    Lanes (2m, 2m+1) are one mate's fw/rc strands (dispatch order).
+    Mirrors classify_with_states' resolution pass (classifier.h:429-479):
+    choose_strand, hit ordering (approximate compareBWTHits), the
+    max_genome_hit_size budget and its cumulative cap. Approximations are
+    safe: the host consumes values through a row-keyed cache, so any
+    mispredicted row is just a cache miss served by a fallback batch.
+
+    Returns rows (M, rk) in row dtype; unused slots hold 0 (row 0
+    resolves to a real value, so duplicates are harmless).
+    """
+    L, mh = h_top.shape
+    M = L // 2
+    t = h_top.reshape(M, 2, mh)
+    b = h_bot.reshape(M, 2, mh)
+    ln = h_len.reshape(M, 2, mh).astype(jnp.int32)
+    size = jnp.where(t >= 0, b - t, 0)
+
+    # per-strand score/maxlen over hits with len >= min_hitlen
+    scoring = (ln >= min_hitlen) & (size != 0)
+    sc = jnp.where(scoring, (ln - 15) * (ln - 15), 0).sum(
+        axis=2, dtype=jnp.int32)                      # (M, 2)
+    mx = jnp.where(scoring, ln, 0).max(axis=2)        # (M, 2)
+    fw_better = (sc[:, 0] > sc[:, 1]) | (
+        (sc[:, 0] == sc[:, 1]) & (mx[:, 0] > mx[:, 1]))
+    rc_better = (sc[:, 1] > sc[:, 0]) | (
+        (sc[:, 0] == sc[:, 1]) & (mx[:, 1] > mx[:, 0]))
+    both = ~fw_better & ~rc_better
+    use = jnp.stack([fw_better | both, rc_better | both], axis=1)  # (M,2)
+
+    # max_genome_hit_size: khits, grown by the largest chosen-strand
+    # range (the reference adds khits once per strand pass; adding it
+    # for both passes over-provisions, which only costs budget)
+    big = jnp.where(scoring & use[:, :, None], size, 0)
+    maxsz = big.max(axis=(1, 2))
+    nstr = use.sum(axis=1, dtype=jnp.int32)
+    mghs = jnp.where(maxsz > khits,
+                     maxsz + nstr.astype(maxsz.dtype) * khits, khits)
+
+    # resolution gate per hit (strict > min_hitlen; classifier.h:451)
+    gate = (ln > min_hitlen) & (size != 0) & use[:, :, None]
+    nelt = jnp.minimum(size, mghs[:, None, None])
+    gate = gate & (nelt <= ihits)
+
+    # order hits: fw strand block then rc (the reference's strand loop),
+    # each sorted by (size asc, len desc) ~= compareBWTHits; size clamped
+    # so the packed key cannot overflow int32 on the narrow path
+    sentinel = jnp.iinfo(size.dtype).max
+    key = jnp.where(gate, jnp.minimum(size, 1 << 18) * 4096 - ln, sentinel)
+    key = key.reshape(M, 2 * mh)
+    tops_f = t.reshape(M, 2 * mh)
+    nelt_f = jnp.where(gate, nelt, 0).reshape(M, 2 * mh)
+    key, tops_f, nelt_f = jax.lax.sort(
+        (key, tops_f, nelt_f), dimension=1, num_keys=1)
+
+    # cumulative budget: hit i taken while previous taken nelts < mghs
+    cum = jnp.cumsum(nelt_f, axis=1)
+    prev = cum - nelt_f
+    take = (nelt_f > 0) & (prev < mghs[:, None])
+    nelt_t = jnp.where(take, nelt_f, 0)
+    start = jnp.cumsum(nelt_t, axis=1) - nelt_t       # slot offsets
+
+    # scatter hit row-ranges into the rk slots (masked sum over hits)
+    slots = jnp.arange(rk, dtype=jnp.int32)[None, :, None]   # (1, rk, 1)
+    s3 = start[:, None, :]                                    # (M, 1, 2mh)
+    n3 = nelt_t[:, None, :]
+    in_range = (slots >= s3) & (slots < s3 + n3)
+    off = (slots - s3).astype(idt)
+    rows = jnp.where(in_range, tops_f[:, None, :] + off, 0).sum(
+        axis=2, dtype=idt)                                    # (M, rk)
+    return rows
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "min_hitlen", "increment", "max_hits", "nblk", "khits", "ihits", "rk",
+    "sample_mask", "offrate", "has_bounds", "narrow", "max_steps",
+    "compact"))
+def batched_search_presolve(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
+                            offs, boundary_rows, boundary_refs,
+                            rseq, lengths, start_cur,
+                            min_hitlen: int, increment: int, max_hits: int,
+                            nblk: int, khits: int, ihits: int, rk: int,
+                            sample_mask: int, offrate: int,
+                            has_bounds: bool, narrow: bool, max_steps: int,
+                            compact: bool = False):
+    """Search + speculative SA resolution in ONE dispatch.
+
+    Besides the packed hit buffers, returns the predicted rows and their
+    resolved sequence indexes, so in the common case the host never has
+    to come back to the device for resolution (the round trip matters:
+    each dispatch has ~50 ms latency on a tunneled device)."""
+    from ..ops.fm_jax import resolve_rows_core
+    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk)
+    h_top, h_bot, h_off, h_len, nhits, sums = search_loop(
+        kern, rseq.astype(jnp.int32), lengths, start_cur, min_hitlen,
+        increment, max_hits, first_hit_only=False)
+    idt = kern.row_dtype
+    rows = _presolve_pick_rows(h_top, h_bot, h_len, khits, ihits,
+                               min_hitlen, rk, idt)
+    flat = rows.reshape(-1)
+    tidx = resolve_rows_core(
+        fm_blocks, fm_fchr, offs, boundary_rows, boundary_refs, zoff,
+        flat, sample_mask, offrate, has_bounds, narrow, max_steps)
+    # (a dense hit-compaction transfer was tried here and reverted: the
+    # searchsorted+gather compaction cost more device time than the
+    # ~2 MB it saved at the tunnel's ~17 MB/s download rate)
+    packed = _pack_search_outputs(h_top, h_bot, h_off, h_len, nhits,
+                                  sums, idt, compact)
+    return packed, flat, tidx
+
+
+def _start_host_copy(*arrays) -> None:
+    """Begin async device->host copies so the download overlaps with
+    whatever the host does before blocking on the result."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            return
 
 
 def _bucket(n: int, lo: int = 256) -> int:
@@ -310,62 +510,117 @@ class BatchSearchEngine:
         self.fm = fm
         self.min_hitlen = min_hitlen
         self.increment = 10 if 2 * min_hitlen <= 33 else 2 * min_hitlen - 33
+        # floors for the lane-count / read-length jit buckets; raising
+        # them lets differently sized batches share ONE compiled shape
+        # (compiles through the tunnel cost 60-200 s and there is no
+        # persistent cache)
+        self.lane_bucket_lo = 256
+        self.lmax_lo = 32
 
     def pack(self, seqs: List[np.ndarray], lmax: int,
              nlanes: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Reversed, padded lane matrix as int8 (codes fit a byte and the
+        host->device tunnel upload is bandwidth-bound, so 1/4 the bytes of
+        int32; the jitted entry casts on device)."""
         fc = self.fm.ftab_chars
-        rseq = np.zeros((nlanes, lmax + fc), dtype=np.int32)
+        rseq = np.zeros((nlanes, lmax + fc), dtype=np.int8)
         lengths = np.zeros(nlanes, dtype=np.int32)
-        for i, s in enumerate(seqs):
-            lengths[i] = len(s)
-            rseq[i, :len(s)] = s[::-1].astype(np.int32)
+        if seqs:
+            lens = np.fromiter((len(x) for x in seqs), np.int32, len(seqs))
+            lengths[: len(seqs)] = lens
+            total = int(lens.sum())
+            if total:
+                allseq = np.concatenate(seqs)
+                rows = np.repeat(np.arange(len(seqs), dtype=np.int64), lens)
+                starts = np.cumsum(lens) - lens
+                col = np.arange(total, dtype=np.int64) - starts[rows]
+                rseq[rows, lens[rows] - 1 - col] = allseq
         return rseq, lengths
 
+    def _compact_ok(self, lmax: int) -> bool:
+        # the compact output packing needs off/len/nhits/sums to fit
+        # 16-bit fields and int32 rows (narrow path)
+        return (not self.fm.wide) and lmax < 16384
+
     def _run(self, rseq, lengths, start, max_hits, first_hit_only):
+        compact = self._compact_ok(rseq.shape[1])
         packed = np.asarray(batched_search_packed(
             self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
             jnp.asarray(self.fm.zoff, self.fm.row_dtype),
             jnp.asarray(rseq), jnp.asarray(lengths),
             jnp.asarray(start), min_hitlen=self.min_hitlen,
             increment=self.increment, max_hits=max_hits,
-            first_hit_only=first_hit_only))
-        m = max_hits
-        return [packed[:, :m], packed[:, m:2 * m], packed[:, 2 * m:3 * m],
-                packed[:, 3 * m:4 * m], packed[:, 4 * m], packed[:, 4 * m + 1]]
+            first_hit_only=first_hit_only, nblk=self.fm.nblk,
+            compact=compact))
+        return _unpack_search_outputs(packed, max_hits, compact)
 
-    def search_async(self, seqs: List[np.ndarray]):
+    def search_async(self, seqs: List[np.ndarray], presolve: bool = False,
+                     khits: int = 5, ihits: int = 200):
         """Dispatch the device search without blocking; returns a handle
         for search_collect. jax execution is async, so the device starts
-        working while the host moves on."""
+        working while the host moves on.
+
+        With presolve=True the same dispatch also speculatively resolves
+        the SA rows the assignment pass is predicted to request
+        (batched_search_presolve); search_collect then returns the
+        (rows, tidx) prefetch arrays as a 7th element."""
         L = len(seqs)
-        lmax = _bucket(max((len(s) for s in seqs), default=1), lo=32)
-        nlanes = _bucket(L)
+        lmax = _bucket(max((len(s) for s in seqs), default=1),
+                       lo=self.lmax_lo)
+        nlanes = _bucket(L, lo=self.lane_bucket_lo)
         rseq, lengths = self.pack(seqs, lmax, nlanes)
         start = np.zeros(nlanes, dtype=np.int32)
         mh = min(self.FIRST_MAX_HITS, lmax)
+        common = (self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
+                  jnp.asarray(self.fm.zoff, self.fm.row_dtype))
+        compact = self._compact_ok(rseq.shape[1])
+        if presolve:
+            fm = self.fm
+            rk = 16 if khits <= 5 else min(128, 4 * khits)
+            out = batched_search_presolve(
+                *common, fm.offs, fm.boundary_rows, fm.boundary_refs,
+                jnp.asarray(rseq), jnp.asarray(lengths), jnp.asarray(start),
+                min_hitlen=self.min_hitlen, increment=self.increment,
+                max_hits=mh, nblk=fm.nblk, khits=khits, ihits=ihits, rk=rk,
+                sample_mask=(1 << fm.offrate) - 1, offrate=fm.offrate,
+                has_bounds=fm.boundary_rows.shape[0] > 0,
+                narrow=fm.npat <= 0xFFFF, max_steps=4096, compact=compact)
+            packed, prows, ptidx = out
+            _start_host_copy(packed, prows, ptidx)
+            return (packed, rseq, lengths, mh, lmax, nlanes, compact,
+                    (prows, ptidx))
         packed = batched_search_packed(
-            self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
-            jnp.asarray(self.fm.zoff, self.fm.row_dtype),
+            *common,
             jnp.asarray(rseq), jnp.asarray(lengths),
             jnp.asarray(start), min_hitlen=self.min_hitlen,
-            increment=self.increment, max_hits=mh, first_hit_only=False)
-        return (packed, rseq, lengths, mh, lmax, nlanes)
+            increment=self.increment, max_hits=mh, first_hit_only=False,
+            nblk=self.fm.nblk, compact=compact)
+        _start_host_copy(packed)
+        return (packed, rseq, lengths, mh, lmax, nlanes, compact, None)
 
     def search_collect(self, handle, L: int):
-        """Block on a search_async handle and return per-lane arrays."""
-        packed, rseq, lengths, mh, lmax, nlanes = handle
-        packed = np.asarray(packed)
-        out = [packed[:, :mh], packed[:, mh:2 * mh], packed[:, 2 * mh:3 * mh],
-               packed[:, 3 * mh:4 * mh], packed[:, 4 * mh],
-               packed[:, 4 * mh + 1]]
+        """Block on a search_async handle; returns (arrays, prefetch):
+        arrays = [h_top, h_bot, h_off, h_len, nhits, sums] per lane and
+        prefetch = (rows_sorted, tidx_sorted) when the dispatch had
+        presolve=True, else None."""
+        packed, rseq, lengths, mh, lmax, nlanes, compact, pre = handle
+        out = _unpack_search_outputs(np.asarray(packed), mh, compact)
         out = self._handle_overflow(out, rseq, lengths, mh, lmax, nlanes)
-        return [a[:L] for a in out]
+        out = [a[:L] for a in out]
+        prefetch = None
+        if pre is not None:
+            prows = np.asarray(pre[0])
+            ptidx = np.asarray(pre[1])
+            order = np.argsort(prows, kind="stable")
+            prefetch = (prows[order], ptidx[order])
+        return out, prefetch
 
     def search(self, seqs: List[np.ndarray]):
         """Full scan for each sequence; returns per-lane raw hit arrays."""
         L = len(seqs)
-        lmax = _bucket(max((len(s) for s in seqs), default=1), lo=32)
-        nlanes = _bucket(L)
+        lmax = _bucket(max((len(s) for s in seqs), default=1),
+                       lo=self.lmax_lo)
+        nlanes = _bucket(L, lo=self.lane_bucket_lo)
         rseq, lengths = self.pack(seqs, lmax, nlanes)
         start = np.zeros(nlanes, dtype=np.int32)
         mh = min(self.FIRST_MAX_HITS, lmax)
@@ -376,18 +631,23 @@ class BatchSearchEngine:
     def _handle_overflow(self, out, rseq, lengths, mh, lmax, nlanes):
         over = np.nonzero(out[4] > mh)[0]
         if over.shape[0]:
-            # rare: a lane emitted more hits than the small buffer holds
+            # rare: a lane emitted more hits than the small buffer holds.
+            # Re-run only those lanes, sized to the actual max hit count
+            # (a full-lmax buffer would blow up both the one-hot update
+            # here and the C++ tail's per-slot loops downstream).
             nover = _bucket(over.shape[0], lo=32)
-            rseq2 = np.zeros((nover, rseq.shape[1]), dtype=np.int32)
+            mh2 = min(_bucket(int(out[4].max()), lo=2 * mh), lmax)
+            rseq2 = np.zeros((nover, rseq.shape[1]), dtype=rseq.dtype)
             rseq2[: over.shape[0]] = rseq[over]
             lengths2 = np.zeros(nover, dtype=np.int32)
             lengths2[: over.shape[0]] = lengths[over]
             full = self._run(rseq2, lengths2,
-                             np.zeros(nover, dtype=np.int32), lmax, False)
-            wide = [np.zeros((nlanes, lmax), a.dtype) if a.ndim == 2 else a
+                             np.zeros(nover, dtype=np.int32), mh2, False)
+            wide = [np.zeros((nlanes, mh2), a.dtype) if a.ndim == 2 else a
                     for a in out]
             for k in range(4):
-                wide[k][:, :mh] = out[k]
+                w = out[k].shape[1]
+                wide[k][:, :w] = out[k]
                 wide[k][over] = full[k][: over.shape[0]]
             wide[4] = out[4].copy()
             wide[4][over] = full[4][: over.shape[0]]

@@ -28,7 +28,7 @@ from .algo import (OFF_MASK, Classifier, PartialHit, StrandState,
                    extend_and_filter, select_results)
 from .engine import BatchSearchEngine
 from .pipeline import (PipelineConfig, ResultFormatter, SpeciesMetrics,
-                       n_filter)
+                       n_filter, read_passes)
 
 
 def _states_from_arrays(h_top, h_bot, h_off, h_len, nhits, sums, lane,
@@ -50,12 +50,31 @@ class TPUClassificationPipeline:
     """Classify batches of reads with device-accelerated search/resolve."""
 
     def __init__(self, idx: CFIndex, cfg: Optional[PipelineConfig] = None,
-                 device=None):
+                 device=None, mesh=None, n_fm: int = None, wide=None):
+        """mesh: a 2-D (dp, fm) jax Mesh -> the search and SA-resolution
+        run BWT-range-sharded + read-data-parallel across its devices
+        (parallel/sharded.py); everything downstream (extension fixpoint,
+        native assignment, selection, report) is identical, so output is
+        byte-identical to the single-chip path."""
         self.idx = idx
         self.cfg = cfg or PipelineConfig()
-        self.dfm = DeviceFMIndex.build(idx, device=device)
-        self.engine = BatchSearchEngine(self.dfm, self.cfg.classifier.min_hitlen)
-        self.resolver = make_resolver(self.dfm)
+        if mesh is not None:
+            from ..parallel.sharded import (ShardedFMArrays,
+                                            ShardedSearchEngine,
+                                            make_sharded_resolver)
+            n_fm = n_fm or mesh.shape["fm"]
+            sharr = ShardedFMArrays.build(idx, n_fm, wide=wide)
+            self.dfm = None
+            self.sharded = sharr
+            self.engine = ShardedSearchEngine(
+                sharr, mesh, self.cfg.classifier.min_hitlen)
+            self.resolver = make_sharded_resolver(mesh, sharr)
+        else:
+            self.dfm = DeviceFMIndex.build(idx, device=device, wide=wide)
+            self.sharded = None
+            self.engine = BatchSearchEngine(self.dfm,
+                                            self.cfg.classifier.min_hitlen)
+            self.resolver = make_resolver(self.dfm)
         # host-side classifier: algorithm only, no FM oracle needed
         self.classifier = Classifier(idx, None, self.cfg.classifier)
         self.formatter = ResultFormatter(idx, self.cfg)
@@ -100,8 +119,7 @@ class TPUClassificationPipeline:
 
     def classify_batch_unpaired(self, recs: Sequence[ReadRec]) -> List[str]:
         units = [[(r.seq, r.revcomp())] for r in recs]
-        passes = [n_filter(r.seq, self.cfg.n_ceil_const, self.cfg.n_ceil_coef)
-                  and len(r.seq) >= self.cfg.min_read_len for r in recs]
+        passes = [read_passes(r, self.cfg) for r in recs]
         if self.native is not None:
             fut = self._dispatch_units(units, passes)
             return self._finish_batch(recs, passes, units, fut)
@@ -122,18 +140,19 @@ class TPUClassificationPipeline:
             # work on directly-attached TPU hosts. Off by default.
             yield from self._classify_stream_threaded(batches)
             return
-        pending = None  # (recs, passes, units, device_future)
+        from collections import deque
+        pending = deque()  # (recs, passes, units, device_future)
         for recs in batches:
             units = [[(r.seq, r.revcomp())] for r in recs]
-            passes = [n_filter(r.seq, self.cfg.n_ceil_const,
-                               self.cfg.n_ceil_coef)
-                      and len(r.seq) >= self.cfg.min_read_len for r in recs]
+            passes = [read_passes(r, self.cfg) for r in recs]
             fut = self._dispatch_units(units, passes)
-            if pending is not None:
-                yield self._finish_batch(*pending)
-            pending = (recs, passes, units, fut)
-        if pending is not None:
-            yield self._finish_batch(*pending)
+            pending.append((recs, passes, units, fut))
+            # keep 2 batches in flight: upload/compute/download of batch
+            # N+1/N+2 overlap with host assignment work on batch N
+            if len(pending) > 2:
+                yield self._finish_batch(*pending.popleft())
+        while pending:
+            yield self._finish_batch(*pending.popleft())
 
     def _classify_stream_threaded(self, batches) -> "Iterator[List[str]]":
         from collections import deque
@@ -143,12 +162,13 @@ class TPUClassificationPipeline:
             lane_seqs, lane_map, handle = fut
             if not lane_seqs:
                 return None
-            arrays = self.engine.search_collect(handle, len(lane_seqs))
+            arrays, prefetch = self.engine.search_collect(
+                handle, len(lane_seqs))
             seeds = gen_read_seeds_batch(recs, self.cfg.seed)
             return self.native.process(
                 arrays, lane_map, lane_seqs, units,
                 [False] * len(units), seeds, self.engine, self.resolver,
-                self.metrics)
+                self.metrics, prefetch=prefetch)
 
         with ThreadPoolExecutor(max_workers=2) as ex:
             q = deque()
@@ -165,10 +185,7 @@ class TPUClassificationPipeline:
 
             for recs in batches:
                 units = [[(r.seq, r.revcomp())] for r in recs]
-                passes = [n_filter(r.seq, self.cfg.n_ceil_const,
-                                   self.cfg.n_ceil_coef)
-                          and len(r.seq) >= self.cfg.min_read_len
-                          for r in recs]
+                passes = [read_passes(r, self.cfg) for r in recs]
                 fut = self._dispatch_units(units, passes)
                 q.append((recs, passes,
                           ex.submit(work, recs, units, passes, fut)))
@@ -189,7 +206,12 @@ class TPUClassificationPipeline:
                 lane_map.append((ui, mi, 0))
                 lane_seqs.append(rc)
                 lane_map.append((ui, mi, 1))
-        handle = self.engine.search_async(lane_seqs) if lane_seqs else None
+        handle = None
+        if lane_seqs:
+            handle = self.engine.search_async(
+                lane_seqs, presolve=self.native is not None,
+                khits=self.cfg.classifier.khits,
+                ihits=self.classifier.ihits)
         self.metrics.lanes += len(lane_seqs)
         self.metrics.device_dispatches += 1
         return lane_seqs, lane_map, handle
@@ -197,12 +219,13 @@ class TPUClassificationPipeline:
     def _finish_batch(self, recs, passes, units, fut) -> List[str]:
         lane_seqs, lane_map, handle = fut
         if self.native is not None and lane_seqs:
-            arrays = self.engine.search_collect(handle, len(lane_seqs))
+            arrays, prefetch = self.engine.search_collect(
+                handle, len(lane_seqs))
             seeds = gen_read_seeds_batch(recs, self.cfg.seed)
             per_unit, secbest = self.native.process(
                 arrays, lane_map, lane_seqs, units,
                 [False] * len(units), seeds, self.engine, self.resolver,
-                self.metrics)
+                self.metrics, prefetch=prefetch)
             return self._emit_rows_preselected(recs, passes, per_unit,
                                                secbest)
         results = self._classify_units(
@@ -240,25 +263,24 @@ class TPUClassificationPipeline:
             for pairs in batches:
                 yield self.classify_batch_paired(pairs)
             return
-        pending = None
+        from collections import deque
+        pending = deque()
         for pairs in batches:
             prep = self._prep_paired(pairs)
             fut = self._dispatch_units(prep[0], prep[2])
-            if pending is not None:
-                yield self._finish_paired(*pending)
-            pending = (pairs, prep, fut)
-        if pending is not None:
-            yield self._finish_paired(*pending)
+            pending.append((pairs, prep, fut))
+            if len(pending) > 2:
+                yield self._finish_paired(*pending.popleft())
+        while pending:
+            yield self._finish_paired(*pending.popleft())
 
     def _prep_paired(self, pairs):
         units = []
         passes = []
         paired_flags = []
         for r1, r2 in pairs:
-            p1 = n_filter(r1.seq, self.cfg.n_ceil_const, self.cfg.n_ceil_coef) \
-                and len(r1.seq) >= self.cfg.min_read_len
-            p2 = n_filter(r2.seq, self.cfg.n_ceil_const, self.cfg.n_ceil_coef) \
-                and len(r2.seq) >= self.cfg.min_read_len
+            p1 = read_passes(r1, self.cfg)
+            p2 = r2 is not None and read_passes(r2, self.cfg)
             passes.append((p1, p2))
             if p1 and p2:
                 units.append([(r1.seq, r1.revcomp()), (r2.seq, r2.revcomp())])
@@ -294,7 +316,7 @@ class TPUClassificationPipeline:
         rows: List[str] = []
         m = self.metrics
         for ui, ((r1, r2), (p1, p2)) in enumerate(zip(pairs, passes)):
-            qlen = len(r1.seq) + len(r2.seq)
+            qlen = len(r1.seq) + (len(r2.seq) if r2 is not None else 0)
             chosen = per_unit[ui] if (p1 or p2) else []
             sb = secbest[ui] if (p1 or p2) else 0
             m.reads += 1
@@ -318,11 +340,12 @@ class TPUClassificationPipeline:
         if not lane_seqs:
             return self._emit_rows_paired(
                 pairs, passes, [[] for _ in pairs], [0] * len(pairs))
-        arrays = self.engine.search_collect(handle, len(lane_seqs))
+        arrays, prefetch = self.engine.search_collect(
+            handle, len(lane_seqs))
         seeds = self._paired_seeds(pairs, passes)
         per_unit, secbest = self.native.process(
             arrays, lane_map, lane_seqs, units, paired_flags, seeds,
-            self.engine, self.resolver, self.metrics)
+            self.engine, self.resolver, self.metrics, prefetch=prefetch)
         return self._emit_rows_paired(pairs, passes, per_unit, secbest)
 
     def classify_batch_paired(self, pairs: Sequence[Tuple[ReadRec, ReadRec]]
@@ -337,7 +360,7 @@ class TPUClassificationPipeline:
         rows: List[str] = []
         m = self.metrics
         for (r1, r2), (p1, p2), res in zip(pairs, passes, results):
-            qlen = len(r1.seq) + len(r2.seq)
+            qlen = len(r1.seq) + (len(r2.seq) if r2 is not None else 0)
             if p1 or p2:
                 seed1 = gen_read_seed(r1.seq, r1.qual, r1.name, self.cfg.seed)
                 if p1 and p2:
@@ -375,7 +398,7 @@ class TPUClassificationPipeline:
             lane_seqs, lane_map, handle = prefetched
             if not lane_seqs:
                 return [[] for _ in units]
-            arrays = self.engine.search_collect(handle, len(lane_seqs))
+            arrays, _ = self.engine.search_collect(handle, len(lane_seqs))
         else:
             lane_seqs = []
             lane_map: List[Tuple[int, int, int]] = []  # (unit, mate, strand)
@@ -473,7 +496,8 @@ class TPUClassificationPipeline:
         values: List[List[int]] = []
         if requests:
             from .engine import _bucket
-            rdt = np.int64 if self.dfm.wide else np.int32
+            rdt = np.int64 if getattr(self.resolver, "wide", False) \
+                else np.int32
             rows = np.concatenate([
                 np.arange(top, top + nelt, dtype=np.int64)
                 for top, nelt in requests]).astype(rdt)

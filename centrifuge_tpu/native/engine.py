@@ -121,7 +121,7 @@ class NativeAssigner:
             self.ctx = None
 
     def process(self, arrays, lane_map, lane_seqs, units, paired_flags,
-                seeds, engine, resolver, metrics=None):
+                seeds, engine, resolver, metrics=None, prefetch=None):
         """Run the full host assignment for one batch.
 
         arrays: the 6 per-lane search outputs; lane_map: (unit, mate,
@@ -194,11 +194,26 @@ class NativeAssigner:
                 ).astype(rdt)
                 if metrics is not None:
                     metrics.resolve_rows += rows.shape[0]
-                from ..classify.engine import _bucket
-                padded = np.zeros(_bucket(rows.shape[0]), rdt)
-                padded[: rows.shape[0]] = rows
-                values = np.ascontiguousarray(
-                    np.asarray(resolver(padded))[: rows.shape[0]], np.int32)
+                miss = np.ones(rows.shape[0], dtype=bool)
+                values = np.zeros(rows.shape[0], np.int32)
+                if prefetch is not None and prefetch[0].shape[0]:
+                    # serve rows from the speculative in-dispatch resolve
+                    prows, ptidx = prefetch
+                    pos = np.searchsorted(prows, rows)
+                    posc = np.minimum(pos, prows.shape[0] - 1)
+                    hit = prows[posc] == rows
+                    values[hit] = ptidx[posc[hit]]
+                    miss = ~hit
+                if miss.any():
+                    mrows = rows[miss]
+                    if metrics is not None:
+                        metrics.resolve_miss_rows += mrows.shape[0]
+                    from ..classify.engine import _bucket
+                    padded = np.zeros(_bucket(mrows.shape[0]), rdt)
+                    padded[: mrows.shape[0]] = mrows
+                    values[miss] = np.asarray(
+                        resolver(padded))[: mrows.shape[0]]
+                values = np.ascontiguousarray(values, np.int32)
             lib.batch_set_resolutions(bh, values, len(values))
 
             # finalize

@@ -40,11 +40,51 @@ _CHAR_PATTERNS = np.array(
     [0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF], dtype=np.uint32)
 
 
+def pack_bwt_blocks(bwt: np.ndarray, wide: bool) -> np.ndarray:
+    """Repack a BWT code array into 512-base device block rows.
+
+    Narrow: uint32[nblk, 4 + 32] = occ[4] | words[32].
+    Wide:   uint32[nblk, 8 + 32] = occ_lo[4] | occ_hi[4] | words[32]
+    (64-bit occ checkpoints split into lo/hi pairs so a rank query stays
+    one gather). Occ counts are GLOBAL prefix counts, so a row-range
+    slice of the result is directly usable by the BWT-range-sharded
+    path. '$' is counted as the code-0 'A' it is stored as; the rank
+    kernel subtracts it once."""
+    n = bwt.shape[0]
+    nblk = n // BLOCK_BASES + 1
+    padded = np.zeros(nblk * BLOCK_BASES, dtype=np.uint8)
+    padded[:n] = bwt
+    b = padded.reshape(-1, 16).astype(np.uint32)
+    words = np.zeros(b.shape[0], dtype=np.uint32)
+    for i in range(16):
+        words |= b[:, i] << (2 * i)
+    words = words.reshape(nblk, WORDS_PER_BLOCK)
+    blocks_codes = padded.reshape(nblk, BLOCK_BASES)
+    occ = np.zeros((nblk, 4), dtype=np.uint64)
+    for c in range(4):
+        cnt = (blocks_codes == c).sum(axis=1).astype(np.uint64)
+        occ[1:, c] = np.cumsum(cnt)[:-1]
+    if wide:
+        occ_lo = (occ & 0xFFFFFFFF).astype(np.uint32)
+        occ_hi = (occ >> 32).astype(np.uint32)
+        return np.concatenate([occ_lo, occ_hi, words], axis=1)
+    return np.concatenate([occ.astype(np.uint32), words], axis=1)
+
+
 @dataclass
 class DeviceFMIndex:
     """Device-resident arrays for the FM search kernels."""
 
     blocks: jax.Array      # uint32[nblk, 36|40]: occ then 32 bwt words
+    ufm: jax.Array         # uint32[nblk + nftab_rows, 36|40]: the blocks
+                           # table with the ftab packed into trailing rows,
+                           # so one gather serves both the LF rank lookup
+                           # (extending lanes) and the ftab range lookup
+                           # (starting lanes). Row layout of the ftab
+                           # region: narrow = 16 (top, bot) int32 pairs per
+                           # row; wide = 8 (top_lo, top_hi, bot_lo, bot_hi)
+                           # quads per row.
+    nblk: int              # ftab region starts at ufm[nblk]
     fchr: jax.Array        # int32/int64[5]
     ftab_top: jax.Array    # int32/int64[4^ftabChars]
     ftab_bot: jax.Array    # int32/int64[4^ftabChars]
@@ -76,37 +116,45 @@ class DeviceFMIndex:
             raise RuntimeError(
                 "index >= 2^31 bases needs the wide path: enable 64-bit "
                 "mode first (jax.config.update('jax_enable_x64', True))")
-        bwt = idx.bwt
-        n = bwt.shape[0]
-        nblk = n // BLOCK_BASES + 1
-        padded = np.zeros(nblk * BLOCK_BASES, dtype=np.uint8)
-        padded[:n] = bwt
-        # pack 16 bases/word
-        b = padded.reshape(-1, 16).astype(np.uint32)
-        words = np.zeros(b.shape[0], dtype=np.uint32)
-        for i in range(16):
-            words |= b[:, i] << (2 * i)
-        words = words.reshape(nblk, WORDS_PER_BLOCK)
-        # occ checkpoints: raw counts before each block ('$' counted as the
-        # code-0 'A' it is stored as; the rank kernel subtracts it once)
-        blocks_codes = padded.reshape(nblk, BLOCK_BASES)
-        occ = np.zeros((nblk, 4), dtype=np.uint64)
-        for c in range(4):
-            cnt = (blocks_codes == c).sum(axis=1).astype(np.uint64)
-            occ[1:, c] = np.cumsum(cnt)[:-1]
-        if wide:
-            occ_lo = (occ & 0xFFFFFFFF).astype(np.uint32)
-            occ_hi = (occ >> 32).astype(np.uint32)
-            rows = np.concatenate([occ_lo, occ_hi, words], axis=1)
-        else:
-            rows = np.concatenate([occ.astype(np.uint32), words], axis=1)
+        rows = pack_bwt_blocks(idx.bwt, wide)
 
         put = functools.partial(jax.device_put, device=device)
         it = np.int64 if wide else np.int32
         ftab_tb = np.stack([idx.ftab_top.astype(it),
                             idx.ftab_bot.astype(it)], axis=1)
+
+        # --- unified table: ftab entries packed into block-shaped rows ---
+        width = rows.shape[1]
+        nftab = idx.ftab_top.shape[0]
+        if wide:
+            per = 8      # 8 entries x 4 words (lo/hi pairs)
+            nfr = (nftab + per - 1) // per
+            frows = np.zeros((nfr, width), dtype=np.uint32)
+            quads = np.zeros((nfr * per, 4), dtype=np.uint32)
+            t64 = idx.ftab_top.astype(np.uint64)
+            b64 = idx.ftab_bot.astype(np.uint64)
+            quads[:nftab, 0] = (t64 & 0xFFFFFFFF).astype(np.uint32)
+            quads[:nftab, 1] = (t64 >> 32).astype(np.uint32)
+            quads[:nftab, 2] = (b64 & 0xFFFFFFFF).astype(np.uint32)
+            quads[:nftab, 3] = (b64 >> 32).astype(np.uint32)
+            frows[:, : per * 4] = quads.reshape(nfr, per * 4)
+        else:
+            per = 16     # 16 (top, bot) pairs
+            nfr = (nftab + per - 1) // per
+            frows = np.zeros((nfr, width), dtype=np.uint32)
+            pairs = np.zeros((nfr * per, 2), dtype=np.uint32)
+            pairs[:nftab, 0] = idx.ftab_top.astype(np.uint32)
+            pairs[:nftab, 1] = idx.ftab_bot.astype(np.uint32)
+            frows[:, : per * 2] = pairs.reshape(nfr, per * 2)
+        ufm = np.concatenate([rows, frows], axis=0)
+
+        # one device allocation serves both: row-indexed kernels only ever
+        # touch rows < nblk, so `blocks` can alias the unified table
+        ufm_dev = put(ufm)
         return DeviceFMIndex(
-            blocks=put(rows),
+            blocks=ufm_dev,
+            ufm=ufm_dev,
+            nblk=int(rows.shape[0]),
             fchr=put(idx.fchr.astype(it)),
             ftab_top=put(idx.ftab_top.astype(it)),
             ftab_bot=put(idx.ftab_bot.astype(it)),
@@ -166,6 +214,95 @@ def _layout_word_off(blocks) -> int:
     return 8 if blocks.shape[1] == 8 + WORDS_PER_BLOCK else 4
 
 
+def _select_col(data: jax.Array, col: jax.Array) -> jax.Array:
+    """data[i, col[i]] without a scalar gather: masked sum (fuses into the
+    surrounding elementwise graph; scalar gathers cost ~10x more than
+    vector math on TPU). Keeps the input dtype (jnp.sum would promote
+    32-bit ints to 64-bit under x64)."""
+    ncol = data.shape[1]
+    idx = jnp.arange(ncol, dtype=jnp.int32)[None, :]
+    return jnp.where(idx == col[:, None], data, 0).sum(axis=1,
+                                                       dtype=data.dtype)
+
+
+def _rank_from_rows(data: jax.Array, within: jax.Array, chars: jax.Array,
+                    zoff, rows: jax.Array, word_off: int) -> jax.Array:
+    """rank_c(row) from pre-gathered rows, gather-free.
+
+    Same math as rank_in_block but the occ-checkpoint base is extracted
+    with a masked sum instead of a second scalar gather.
+    """
+    words = data[:, word_off:]
+    pattern = jnp.asarray(_CHAR_PATTERNS)[chars][:, None]
+    widx = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)[None, :]
+    within32 = within.astype(jnp.int32)
+    nvalid = jnp.clip(within32[:, None] - widx * 16, 0, 16)
+    x = words ^ pattern
+    y = (~x) & ((~x) >> 1) & jnp.uint32(0x55555555)
+    shift = (2 * jnp.clip(nvalid, 0, 15)).astype(jnp.uint32)
+    mask = jnp.where(nvalid >= 16, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << shift) - 1)
+    cnt = jax.lax.population_count(y & mask).astype(jnp.int32).sum(
+        axis=1, dtype=jnp.int32)
+    if word_off == 8:
+        lo = _select_col(data[:, :4], chars).astype(jnp.int64)
+        hi = _select_col(data[:, 4:8], chars).astype(jnp.int64)
+        base = lo | (hi << 32)
+    else:
+        base = _select_col(data[:, :4], chars).astype(jnp.int32)
+    adj = ((chars == 0) & (zoff < rows)).astype(jnp.int32)
+    return base + cnt - adj
+
+
+def fused_step_lookup(ufm: jax.Array, nblk: int, fchr: jax.Array, zoff,
+                      starting: jax.Array, fi: jax.Array,
+                      top: jax.Array, bot: jax.Array, chars: jax.Array):
+    """One gather for everything a search step needs.
+
+    starting lanes read their packed ftab row (range prime); extending
+    lanes read the block rows of top and bot (LF rank + BWT char).
+    Returns (ftop, fbot, lf_top, lf_bot, topchar); entries are only
+    meaningful for lanes in the corresponding phase.
+    """
+    word_off = _layout_word_off(ufm)
+    wide = word_off == 8
+    idt = jnp.int64 if wide else jnp.int32
+    L = top.shape[0]
+    per_shift = 3 if wide else 4          # ftab entries per row
+
+    frow = nblk + (fi >> per_shift).astype(idt)
+    idx_t = jnp.where(starting, frow, jnp.where(top >= 0, top >> 9, 0))
+    idx_b = jnp.where(starting, frow, jnp.where(bot >= 0, bot >> 9, 0))
+    g = ufm[jnp.concatenate([idx_t, idx_b])]          # (2L, W): ONE gather
+    gt = g[:L]
+
+    # --- ftab extraction (starting lanes; values from gt) ---
+    if wide:
+        q = ((fi & 7) * 4).astype(jnp.int32)
+        tlo = _select_col(gt, q).astype(jnp.int64)
+        thi = _select_col(gt, q + 1).astype(jnp.int64)
+        blo = _select_col(gt, q + 2).astype(jnp.int64)
+        bhi = _select_col(gt, q + 3).astype(jnp.int64)
+        ftop = tlo | (thi << 32)
+        fbot = blo | (bhi << 32)
+    else:
+        p = ((fi & 15) * 2).astype(jnp.int32)
+        ftop = _select_col(gt, p).astype(jnp.int32)
+        fbot = _select_col(gt, p + 1).astype(jnp.int32)
+
+    # --- LF rank extraction (extending lanes) ---
+    rows2 = jnp.concatenate([top, bot])
+    within2 = (rows2 & 511).astype(jnp.int32)
+    ch2 = jnp.concatenate([chars, chars])
+    r = _rank_from_rows(g, within2, ch2, zoff, rows2, word_off)
+    lf2 = fchr[ch2] + r
+    word = _select_col(gt[:, word_off:],
+                       ((top & 511) >> 4).astype(jnp.int32))
+    topchar = ((word.astype(jnp.uint32)
+                >> (2 * (top & 15).astype(jnp.uint32))) & 3).astype(jnp.int32)
+    return ftop, fbot, lf2[:L], lf2[L:], topchar
+
+
 def rank_kernel(blocks: jax.Array, zoff, rows: jax.Array,
                 chars: jax.Array) -> jax.Array:
     """Batched rank_c(row): occurrences of c in bwt[0:row], $ excluded."""
@@ -197,14 +334,11 @@ def lf_step_with_char(blocks, fchr, zoff, rows):
     return lf_kernel(blocks, fchr, zoff, rows, c)
 
 
-@functools.partial(jax.jit, static_argnames=("sample_mask", "offrate",
-                                             "has_bounds", "narrow",
-                                             "max_steps"))
-def _resolve_rows(blocks, fchr, offs, boundary_rows, boundary_refs, zoff,
-                  rows, sample_mask: int, offrate: int, has_bounds: bool,
-                  narrow: bool, max_steps: int):
-    """Jitted SA-row -> tidx walk; module-level so the compile is cached
-    across pipeline instances (keyed by array shapes + static config)."""
+def resolve_rows_core(blocks, fchr, offs, boundary_rows, boundary_refs,
+                      zoff, rows, sample_mask: int, offrate: int,
+                      has_bounds: bool, narrow: bool, max_steps: int):
+    """Traceable SA-row -> tidx walk; composable into larger jits (the
+    fused search+resolve dispatch) as well as the standalone resolver."""
 
     def try_offset(rows):
         tidx = jnp.full(rows.shape, -1, jnp.int32)
@@ -230,11 +364,21 @@ def _resolve_rows(blocks, fchr, offs, boundary_rows, boundary_refs, zoff,
         rows, tidx, it = state
         return (tidx < 0).any() & (it < max_steps)
 
+    word_off = _layout_word_off(blocks)
+
     def step(state):
         rows, tidx, it = state
         unresolved = tidx < 0
         step_rows = jnp.where(unresolved, rows, 0)
-        nxt = lf_step_with_char(blocks, fchr, zoff, step_rows)
+        # ONE gather serves both BWT[row] and rank_c(row)
+        data = blocks[step_rows >> 9]
+        within = (step_rows & 511).astype(jnp.int32)
+        word = _select_col(data[:, word_off:], within >> 4)
+        c = ((word.astype(jnp.uint32)
+              >> (2 * (step_rows & 15).astype(jnp.uint32))) & 3
+             ).astype(jnp.int32)
+        nxt = fchr[c] + _rank_from_rows(data, within, c, zoff, step_rows,
+                                        word_off)
         rows = jnp.where(unresolved, nxt, rows)
         t2 = try_offset(rows)
         tidx = jnp.where(unresolved, t2, tidx)
@@ -243,13 +387,26 @@ def _resolve_rows(blocks, fchr, offs, boundary_rows, boundary_refs, zoff,
     def body(state):
         # the step is a no-op on resolved rows, so unrolling amortizes
         # per-iteration dispatch overhead without changing results
-        for _ in range(4):
+        for _ in range(8):
             state = step(state)
         return state
 
     tidx = try_offset(rows)
     rows, tidx, _ = jax.lax.while_loop(cond, body, (rows, tidx, jnp.int32(0)))
     return tidx
+
+
+@functools.partial(jax.jit, static_argnames=("sample_mask", "offrate",
+                                             "has_bounds", "narrow",
+                                             "max_steps"))
+def _resolve_rows(blocks, fchr, offs, boundary_rows, boundary_refs, zoff,
+                  rows, sample_mask: int, offrate: int, has_bounds: bool,
+                  narrow: bool, max_steps: int):
+    """Jitted wrapper over resolve_rows_core; module-level so the compile
+    is cached across pipeline instances."""
+    return resolve_rows_core(blocks, fchr, offs, boundary_rows,
+                             boundary_refs, zoff, rows, sample_mask,
+                             offrate, has_bounds, narrow, max_steps)
 
 
 def make_resolver(fm: DeviceFMIndex, max_steps: int = 4096):

@@ -20,7 +20,7 @@ from typing import List, Optional, TextIO
 COLUMNS = [
     "time", "secs", "reads", "bases", "filtered", "unfiltered",
     "batches", "lanes", "device_dispatches", "resolve_rows",
-    "reads_classified", "reads_unclassified", "assignments",
+    "resolve_miss_rows", "reads_classified", "reads_unclassified", "assignments",
     "reads_per_sec",
 ]
 
@@ -34,6 +34,7 @@ class PerfMetrics:
     lanes: int = 0
     device_dispatches: int = 0
     resolve_rows: int = 0
+    resolve_miss_rows: int = 0
     reads_classified: int = 0
     reads_unclassified: int = 0
     assignments: int = 0
@@ -82,7 +83,7 @@ class MetricsEmitter:
                 str(m.reads), str(m.bases), str(m.filtered),
                 str(m.reads - m.filtered), str(m.batches), str(m.lanes),
                 str(m.device_dispatches), str(m.resolve_rows),
-                str(m.reads_classified), str(m.reads_unclassified),
+                str(m.resolve_miss_rows), str(m.reads_classified), str(m.reads_unclassified),
                 str(m.assignments), f"{m.reads / max(secs, 1e-9):.1f}"]
         self._write("\t".join(vals))
 
