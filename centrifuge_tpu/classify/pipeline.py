@@ -109,6 +109,8 @@ class PipelineConfig:
     # reference always computes them but never prints them
     # (centrifuge.cpp:3296-3298 is if(false)'d), so default off for speed
     count_kmers: bool = False
+    # --qc-filter: drop reads whose qseq filter flag is '0'
+    qc_filter: bool = False
     # native C++ assignment engine (classify/native); falls back to the
     # Python path automatically if the extension cannot build
     use_native: bool = True
@@ -122,6 +124,15 @@ def n_filter(seq: np.ndarray, n_ceil_const: float, n_ceil_coef: float) -> bool:
     """True iff the read passes the max-N filter (scoring.cpp:104-117)."""
     maxns = min(int(n_ceil_const + n_ceil_coef * len(seq)), len(seq))
     return int(np.count_nonzero(seq == 4)) <= maxns
+
+
+def read_passes(rec, cfg: "PipelineConfig") -> bool:
+    """All per-mate input filters: N-ceiling, min length, and --qc-filter
+    (centrifuge.cpp:2548-2585: filt = nfilt && lenfilt && qcfilt; the QC
+    flag comes from the qseq filter field, read.h:356)."""
+    return (n_filter(rec.seq, cfg.n_ceil_const, cfg.n_ceil_coef)
+            and len(rec.seq) >= cfg.min_read_len
+            and (not cfg.qc_filter or rec.filter != b"0"))
 
 
 # column name -> field kind, mirroring col_name_map (centrifuge.cpp:483-518)
@@ -234,14 +245,15 @@ class ResultFormatter:
                 elif kind == "STAR":
                     vals.append("*")
                 elif kind == "SEQ":
+                    # paired mates join with '_' (aln_sink.h:2307-2310)
                     s1 = codes_to_str(rec1.seq) if rec1 is not None else ""
                     if rec2 is not None:
-                        s1 += "." + codes_to_str(rec2.seq)
+                        s1 += "_" + codes_to_str(rec2.seq)
                     vals.append(s1)
                 elif kind == "QUAL":
                     q1 = rec1.qual.decode() if rec1 is not None else ""
                     if rec2 is not None:
-                        q1 += "." + rec2.qual.decode()
+                        q1 += "_" + rec2.qual.decode()
                     vals.append(q1)
                 elif kind == "SEQ1":
                     vals.append(codes_to_str(rec1.seq) if rec1 is not None else "")

@@ -66,10 +66,41 @@ def make_parser() -> argparse.ArgumentParser:
                    help="Comma-separated tabbed (1-2-mates-per-line) files")
     p.add_argument("-F", dest="fasta_cont", metavar="k:<int>,i:<int>",
                    help="Classify consecutive k-mers of the input seqs")
-    p.add_argument("--un", dest="un_file", metavar="<path>",
-                   help="Write unclassified reads to <path>")
-    p.add_argument("--al", dest="al_file", metavar="<path>",
-                   help="Write classified reads to <path>")
+    for kind, what in (("un", "unclassified"), ("al", "classified")):
+        p.add_argument(f"--{kind}", dest=f"{kind}_file", metavar="<path>",
+                       help=f"Write {what} unpaired reads to <path>")
+        p.add_argument(f"--{kind}-gz", dest=f"{kind}_file_gz",
+                       metavar="<path>")
+        p.add_argument(f"--{kind}-bz2", dest=f"{kind}_file_bz2",
+                       metavar="<path>")
+        p.add_argument(f"--{kind}-conc", dest=f"{kind}_conc_file",
+                       metavar="<path>",
+                       help=f"Write {what} paired reads to two mate files "
+                       "derived from <path>")
+        p.add_argument(f"--{kind}-conc-gz", dest=f"{kind}_conc_file_gz",
+                       metavar="<path>")
+        p.add_argument(f"--{kind}-conc-bz2", dest=f"{kind}_conc_file_bz2",
+                       metavar="<path>")
+    p.add_argument("--nofw", action="store_true",
+                   help="Accepted for compatibility: the reference stores "
+                   "but never consults this flag in the classifier "
+                   "(hi_aligner.h:745 is its only write; verified "
+                   "output-identical with the reference binary)")
+    p.add_argument("--norc", action="store_true",
+                   help="Accepted for compatibility (see --nofw)")
+    p.add_argument("--qc-filter", action="store_true",
+                   help="Filter out reads that are bad according to the "
+                   "QSEQ filter field")
+    p.add_argument("--phred33", action="store_true",
+                   help="Qualities are Phred+33 (default)")
+    p.add_argument("--phred64", "--solexa1.3-quals", dest="phred64",
+                   action="store_true", help="Qualities are Phred+64")
+    p.add_argument("--solexa-quals", dest="solexa_quals",
+                   action="store_true",
+                   help="Qualities are from GA Pipeline ver. < 1.3")
+    p.add_argument("--int-quals", "--integer-quals", dest="int_quals",
+                   action="store_true",
+                   help="Qualities are given as space-delimited integers")
     p.add_argument("-u", "--upto", dest="upto", type=int, default=0,
                    metavar="<int>", help="Stop after the first <int> reads")
     p.add_argument("-s", "--skip", dest="skip", type=int, default=0,
@@ -128,7 +159,116 @@ def _trim(rec, trim5: int, trim3: int):
     n = len(rec.seq)
     lo = min(trim5, n)
     hi = max(lo, n - trim3)
-    return ReadRec(rec.name, rec.seq[lo:hi], rec.qual[lo:hi])
+    return ReadRec(rec.name, rec.seq[lo:hi], rec.qual[lo:hi], rec.filter)
+
+
+class ReadTee:
+    """Row-level read teeing, byte-compatible with the Perl wrapper
+    (centrifuge:874-928): --un/--al take unpaired rows, --un-conc/
+    --al-conc take paired rows (detected by '_' in the readSeq column,
+    which joins mates), each with -gz/-bz2 compressed variants. Reads
+    are re-emitted as FASTQ when a readQual column exists, else FASTA,
+    once per OUTPUT ROW (a read with k assignments appears k times --
+    reference behaviour)."""
+
+    KINDS = ("un", "al", "un-conc", "al-conc")
+
+    def __init__(self, args):
+        self.specs = {}
+        for kind in self.KINDS:
+            base = kind.replace("-", "_") + "_file"
+            for suff, comp in (("", None), ("_gz", "gz"), ("_bz2", "bz2")):
+                path = getattr(args, base + suff, None)
+                if path:
+                    self.specs[kind] = (path, comp)
+        self.active = bool(self.specs)
+        self.fhs = {}
+        self.seq_i = self.qual_i = self.rid_i = None
+
+    @staticmethod
+    def _mate_names(path: str):
+        """Derive the two mate filenames (centrifuge:735-747)."""
+        import os.path as osp
+        d, fn = osp.split(path)
+        if "%" in fn:
+            f1, f2 = fn.replace("%", "1"), fn.replace("%", "2")
+        elif "." in fn.lstrip("."):
+            stem, ext = fn.rsplit(".", 1)
+            f1, f2 = f"{stem}.1.{ext}", f"{stem}.2.{ext}"
+        else:
+            f1, f2 = fn + ".1", fn + ".2"
+        return osp.join(d, f1), osp.join(d, f2)
+
+    @staticmethod
+    def _open(path: str, comp):
+        if comp == "gz":
+            import gzip
+            return gzip.open(path, "wt")
+        if comp == "bz2":
+            import bz2
+            return bz2.open(path, "wt")
+        return open(path, "w")
+
+    def open_files(self, columns: List[str]) -> None:
+        if not self.active:
+            return
+        # first column whose name CONTAINS the key, like the wrapper's
+        # regex match (centrifuge:788-801)
+        for i, c in enumerate(columns):
+            if "readSeq" in c and self.seq_i is None:
+                self.seq_i = i
+            elif "readQual" in c and self.qual_i is None:
+                self.qual_i = i
+            elif "readID" in c and self.rid_i is None:
+                self.rid_i = i
+        if self.seq_i is None:
+            print("Must use readSeq in --tab-fmt-cols in order to output "
+                  "unaligned reads.", file=sys.stderr)
+            raise SystemExit(1)
+        for kind, (path, comp) in self.specs.items():
+            if kind.endswith("-conc"):
+                f1, f2 = self._mate_names(path)
+                self.fhs[kind] = (self._open(f1, comp), self._open(f2, comp))
+            else:
+                self.fhs[kind] = self._open(path, comp)
+
+    def _fmt(self, rid: str, seq: str, qual) -> str:
+        if self.qual_i is not None:
+            return f"@{rid}\n{seq}\n+\n{qual}\n"
+        return f">{rid}\n{seq}\n"
+
+    def process(self, row: str) -> None:
+        if not self.fhs:
+            return
+        cols = row.split("\t")
+        seq = cols[self.seq_i]
+        unal = "unclassified" in row
+        rid = cols[self.rid_i] if self.rid_i is not None else ""
+        if "_" in seq:
+            key = "un-conc" if unal else "al-conc"
+            fhs = self.fhs.get(key)
+            if fhs is not None:
+                s1, s2 = seq.split("_", 1)
+                if self.qual_i is not None:
+                    q = cols[self.qual_i]
+                    q1, q2 = q[: len(s1)], q[len(s1) + 1:]
+                else:
+                    q1 = q2 = None
+                fhs[0].write(self._fmt(rid, s1, q1))
+                fhs[1].write(self._fmt(rid, s2, q2))
+        else:
+            fh = self.fhs.get("un" if unal else "al")
+            if fh is not None:
+                q = cols[self.qual_i] if self.qual_i is not None else None
+                fh.write(self._fmt(rid, seq, q))
+
+    def close(self) -> None:
+        for v in self.fhs.values():
+            if isinstance(v, tuple):
+                v[0].close()
+                v[1].close()
+            else:
+                v.close()
 
 
 def run(argv: List[str]) -> int:
@@ -143,8 +283,8 @@ def run(argv: List[str]) -> int:
                                      PipelineConfig, codes_to_str,
                                      format_read_id)
     from ..index.cf_io import load_cf_index
-    from ..io.fastx import (read_fasta_continuous, read_fastx, read_qseq,
-                            read_raw, read_tabbed)
+    from ..io.fastx import (QualConfig, read_fasta_continuous, read_fastx,
+                            read_qseq, read_raw, read_tabbed)
     from ..report.writers import write_report
 
     t_start = time.time()
@@ -159,6 +299,16 @@ def run(argv: List[str]) -> int:
         else list(DEFAULT_COLUMNS)
     if args.tab_fmt_cols:
         columns = [c for c in args.tab_fmt_cols.split(",") if c]
+    # read-tee handling mirrors the Perl wrapper: when any --un/--al
+    # family option is set, readSeq/readQual are appended to the column
+    # list and stripped from the written rows afterwards
+    # (centrifuge:305-338, RemoveSeqCols centrifuge:618-626)
+    tee = ReadTee(args)
+    strip_cols = 0
+    if tee.active and not any("readSeq" in c for c in columns):
+        columns = columns + ["readSeq", "readQual"]
+        strip_cols = 2
+
     cls_cfg = ClassifierConfig(
         khits=args.khits,
         min_hitlen=max(args.min_hitlen, 16),
@@ -167,7 +317,10 @@ def run(argv: List[str]) -> int:
         host_taxids=_parse_taxids(args.host_taxids),
         exclude_taxids=_parse_taxids(args.exclude_taxids),
     )
-    cfg = PipelineConfig(classifier=cls_cfg, seed=args.seed, columns=columns)
+    cfg = PipelineConfig(classifier=cls_cfg, seed=args.seed, columns=columns,
+                         qc_filter=args.qc_filter)
+    qconf = QualConfig(solexa=args.solexa_quals, phred64=args.phred64,
+                       int_quals=args.int_quals)
 
     if args.engine == "tpu":
         from ..classify.tpu_pipeline import TPUClassificationPipeline
@@ -180,14 +333,17 @@ def run(argv: List[str]) -> int:
         return _run_sample_sheet(args, pipe)
 
     out = sys.stdout if args.output == "-" else open(args.output, "w")
-    out.write(pipe.formatter.header() + "\n")
+    header = pipe.formatter.header()
+    if strip_cols:
+        header = header.rsplit("\t", strip_cols)[0]
+    out.write(header + "\n")
 
     unpaired = _split(args.unpaired) + list(args.reads)
     m1 = _split(args.mates1)
     m2 = _split(args.mates2)
-    if not unpaired and not m1:
-        print("Error: must specify -U, -1/-2, or positional read files",
-              file=sys.stderr)
+    if not unpaired and not m1 and not args.tab12:
+        print("Error: must specify -U, -1/-2, --12, or positional read "
+              "files", file=sys.stderr)
         return 1
     if len(m1) != len(m2):
         print("Error: -1 and -2 must have the same number of files",
@@ -212,12 +368,12 @@ def run(argv: List[str]) -> int:
         if args.raw:
             return read_raw(path)
         if args.qseq:
-            return read_qseq(path)
+            return read_qseq(path, qconf)
         if args.fasta_cont:
             opts = dict(kv.split(":") for kv in args.fasta_cont.split(","))
             return read_fasta_continuous(path, int(opts.get("k", 50)),
                                          int(opts.get("i", 1)))
-        return read_fastx(path)
+        return read_fastx(path, qconf)
 
     def reads_iter(paths):
         nonlocal skip, nread
@@ -234,11 +390,13 @@ def run(argv: List[str]) -> int:
     def pairs_iter(p1, p2):
         nonlocal skip, nread
         for f1, f2 in zip(p1, p2):
-            it1, it2 = read_fastx(f1), read_fastx(f2)
+            it1, it2 = read_fastx(f1, qconf), read_fastx(f2, qconf)
             for r1 in it1:
                 r2 = next(it2, None)
                 if r2 is None:
-                    break
+                    print("Error, fewer reads in file specified with -2 "
+                          "than in file specified with -1", file=sys.stderr)
+                    raise SystemExit(1)
                 if skip > 0:
                     skip -= 1
                     continue
@@ -247,11 +405,15 @@ def run(argv: List[str]) -> int:
                 nread += 1
                 yield (_trim(r1, args.trim5, args.trim3),
                        _trim(r2, args.trim5, args.trim3))
+            if next(it2, None) is not None:
+                print("Error, fewer reads in file specified with -1 than "
+                      "in file specified with -2", file=sys.stderr)
+                raise SystemExit(1)
 
     def tab12_iter(paths):
         nonlocal skip, nread
         for path in paths:
-            for item in read_tabbed(path, paired=True):
+            for item in read_tabbed(path, paired=True, qconf=qconf):
                 if skip > 0:
                     skip -= 1
                     continue
@@ -275,99 +437,48 @@ def run(argv: List[str]) -> int:
     else:
         unpaired_src = reads_iter(unpaired) if unpaired else iter(())
 
-    # --un/--al read teeing (the Perl wrapper's job in the reference)
-    un_f = open(args.un_file, "w") if args.un_file else None
-    al_f = open(args.al_file, "w") if args.al_file else None
+    tee.open_files(columns)
 
-    def write_rec(f, rec):
-        seq = codes_to_str(rec.seq)
-        if args.fasta:
-            f.write(f">{rec.name.decode()}\n{seq}\n")
-        else:
-            f.write(f"@{rec.name.decode()}\n{seq}\n+\n{rec.qual.decode()}\n")
-
-    col_rid = columns.index("readID") if "readID" in columns else (
-        columns.index("QNAME") if "QNAME" in columns else None)
-    col_sid = columns.index("seqID") if "seqID" in columns else (
-        columns.index("RNEXT") if "RNEXT" in columns else None)
-
-    def tee(recs_batch, rows):
-        if (un_f is None and al_f is None) or col_rid is None \
-                or col_sid is None:
-            return
-        ri = 0
-        for rec in recs_batch:
-            rec0 = rec[0] if isinstance(rec, tuple) else rec
-            rid = format_read_id(rec0.name)
-            classified = False
-            matched = False
-            while ri < len(rows):
-                parts = rows[ri].split("\t")
-                if parts[col_rid] != rid:
-                    break
-                if parts[col_sid] != "unclassified":
-                    classified = True
-                ri += 1
-                matched = True
-            if not matched:
-                continue
-            target = al_f if classified else un_f
-            if target is not None:
-                if isinstance(rec, tuple):
-                    for r in rec:
-                        if r is not None:
-                            write_rec(target, r)
-                else:
-                    write_rec(target, rec)
+    def emit(row):
+        tee.process(row)
+        if strip_cols:
+            row = row.rsplit("\t", strip_cols)[0]
+        out.write(row + "\n")
 
     from ..utils.metrics import MetricsEmitter
     met = MetricsEmitter(args.met_file, args.met_stderr, args.met)
 
     if args.engine == "tpu":
-        if un_f is None and al_f is None:
-            # fast path: pipelined host/device streaming
-            for chunk in pipe.classify_stream_unpaired(
-                    batches(unpaired_src, args.batch_size)):
-                for row in chunk:
-                    out.write(row + "\n")
-                met.maybe_emit(pipe.metrics)
-        else:
-            for batch in batches(unpaired_src, args.batch_size):
-                rows = pipe.classify_batch_unpaired(batch)
-                for row in rows:
-                    out.write(row + "\n")
-                tee(batch, rows)
-                met.maybe_emit(pipe.metrics)
-        pair_src = list(pairs_iter(m1, m2)) if m1 else []
+        # pipelined host/device streaming; the tee consumes output rows
+        # (wrapper semantics), so it composes with streaming
+        for chunk in pipe.classify_stream_unpaired(
+                batches(unpaired_src, args.batch_size)):
+            for row in chunk:
+                emit(row)
+            met.maybe_emit(pipe.metrics)
+        import itertools
+        pair_src = pairs_iter(m1, m2) if m1 else iter(())
         if args.tab12:
-            pair_src += [p for p in tab12_iter(_split(args.tab12))
-                         if p[1] is not None]
-        if pair_src and un_f is None and al_f is None:
-            for rows in pipe.classify_stream_paired(
-                    batches(iter(pair_src), args.batch_size)):
-                for row in rows:
-                    out.write(row + "\n")
-                met.maybe_emit(pipe.metrics)
-        else:
-            for batch in batches(iter(pair_src), args.batch_size):
-                rows = pipe.classify_batch_paired(batch)
-                for row in rows:
-                    out.write(row + "\n")
-                tee(batch, rows)
-                met.maybe_emit(pipe.metrics)
+            # single-mate tabbed rows classify as unpaired reads in
+            # input order (pat.h TabbedPatternSource)
+            pair_src = itertools.chain(pair_src,
+                                       tab12_iter(_split(args.tab12)))
+        for rows in pipe.classify_stream_paired(
+                batches(pair_src, args.batch_size)):
+            for row in rows:
+                emit(row)
+            met.maybe_emit(pipe.metrics)
         met.close(pipe.metrics)
     else:
         for rec in unpaired_src:
             for row in pipe.classify_unpaired(rec):
-                out.write(row + "\n")
+                emit(row)
         if m1:
             for r1, r2 in pairs_iter(m1, m2):
                 for row in pipe.classify_paired(r1, r2):
-                    out.write(row + "\n")
+                    emit(row)
 
-    for f in (un_f, al_f):
-        if f is not None:
-            f.close()
+    tee.close()
     if out is not sys.stdout:
         out.close()
 
@@ -412,25 +523,32 @@ def _run_sample_sheet(args, pipe) -> int:
         pipe.spm = SpeciesMetrics()
         with open(out_path, "w") as out:
             out.write(pipe.formatter.header() + "\n")
+            def _batches(it):
+                buf = []
+                for x in it:
+                    buf.append(x)
+                    if len(buf) >= args.batch_size:
+                        yield buf
+                        buf = []
+                if buf:
+                    yield buf
+
             if stype == "2":
-                it1, it2 = read_fastx(r1), read_fastx(r2)
-                pairs = []
-                for a in it1:
-                    b = next(it2, None)
-                    if b is None:
-                        break
-                    pairs.append((_trim(a, args.trim5, args.trim3),
-                                  _trim(b, args.trim5, args.trim3)))
-                for i in range(0, len(pairs), args.batch_size):
-                    for row in pipe.classify_batch_paired(
-                            pairs[i: i + args.batch_size]):
+                def _pairs():
+                    it1, it2 = read_fastx(r1), read_fastx(r2)
+                    for a in it1:
+                        b = next(it2, None)
+                        if b is None:
+                            break
+                        yield (_trim(a, args.trim5, args.trim3),
+                               _trim(b, args.trim5, args.trim3))
+                for rows in pipe.classify_stream_paired(_batches(_pairs())):
+                    for row in rows:
                         out.write(row + "\n")
             else:
-                recs = [_trim(r, args.trim5, args.trim3)
-                        for r in read_fastx(r1)]
-                for chunk in pipe.classify_stream_unpaired(
-                        recs[i: i + args.batch_size]
-                        for i in range(0, len(recs), args.batch_size)):
+                recs = (_trim(r, args.trim5, args.trim3)
+                        for r in read_fastx(r1))
+                for chunk in pipe.classify_stream_unpaired(_batches(recs)):
                     for row in chunk:
                         out.write(row + "\n")
         if report_path:

@@ -398,3 +398,149 @@ def test_kreport_count_table_parity():
     assert r.returncode == 0, r.stderr
     assert r.stdout == open(
         os.path.join(fx, "golden_kreport_counts.txt")).read()
+
+
+# ---------------------------------------------------------------------------
+# round-2 surface: vestigial strand flags, QC filter, quality encodings,
+# mixed tabbed input, wrapper-parity read tees
+# ---------------------------------------------------------------------------
+
+def test_nofw_norc_parity(tmp_path):
+    """--nofw/--norc are stored but never consulted by the reference
+    classifier (hi_aligner.h:745-748 are the only writes; verified
+    output-identical with the reference binary on this fixture)."""
+    fx = fixture_path("synth")
+    out = tmp_path / "o.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-U", os.path.join(fx, "reads.fq"), "--nofw", "--norc",
+                 "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == open(
+        os.path.join(fx, "golden_nofw.tsv")).read()
+
+
+def test_qc_filter_parity(tmp_path):
+    """--qc-filter drops qseq reads whose filter field is '0'
+    (centrifuge.cpp:2578-2584); reference-generated golden."""
+    fx = fixture_path("synth")
+    out = tmp_path / "o.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"), "--qseq",
+                 "-U", os.path.join(fx, "reads_filter.qseq"), "--qc-filter",
+                 "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == open(
+        os.path.join(fx, "golden_qcfilter.tsv")).read()
+
+
+QUAL_COLS = ("readID,seqID,taxID,score,2ndBestScore,hitLength,queryLength,"
+             "numMatches,readQual")
+
+
+@pytest.mark.parametrize("flag,reads,golden", [
+    ("--phred64", "reads_phred64.fq", "golden_phred64.tsv"),
+    ("--solexa-quals", "reads_solexa.fq", "golden_solexa.tsv"),
+    ("--int-quals", "reads_intq.fq", "golden_intq.tsv"),
+])
+def test_quality_encoding_parity(tmp_path, flag, reads, golden):
+    """Qualities normalize to phred+33 at parse time (qual.h:105-171);
+    the readQual column in the golden pins the converted bytes."""
+    fx = fixture_path("synth")
+    out = tmp_path / "o.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"), flag,
+                 "-U", os.path.join(fx, reads),
+                 "--tab-fmt-cols", QUAL_COLS,
+                 "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == open(os.path.join(fx, golden)).read()
+
+
+def test_tab12_mixed_rows(tmp_path):
+    """--12 with interleaved 5-field pairs and 3-field singles: the
+    reference BINARY's --12 path is dead (centrifuge.cpp:3018 builds an
+    empty mate12 list, so --12 input is silently ignored); ours
+    classifies every row. Golden derived from reference -1/-2 and -U
+    runs on the split parts, interleaved in input order."""
+    fx = fixture_path("synth")
+    out = tmp_path / "o.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "--12", os.path.join(fx, "reads_mixed.tab"),
+                 "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == open(
+        os.path.join(fx, "golden_tab12_mixed.tsv")).read()
+
+
+def test_paired_seq_cols_parity(tmp_path):
+    """Paired readSeq/readQual join mates with '_' (aln_sink.h:2307-2310)."""
+    fx = fixture_path("synth")
+    out = tmp_path / "o.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-1", os.path.join(fx, "reads_1.fq"),
+                 "-2", os.path.join(fx, "reads_2.fq"),
+                 "--tab-fmt-cols", "readID,seqID,taxID,score,readSeq,readQual",
+                 "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == open(
+        os.path.join(fx, "golden_paired_seqcols.tsv")).read()
+
+
+def test_read_tee_unpaired(tmp_path):
+    """--un/--al write per-ROW FASTQ records exactly like the Perl
+    wrapper (centrifuge:874-896); goldens from the wrapper itself."""
+    fx = fixture_path("synth")
+    out = tmp_path / "o.tsv"
+    un = tmp_path / "un.fq"
+    al = tmp_path / "al.fq"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-U", os.path.join(fx, "reads.fq"),
+                 "--un", str(un), "--al", str(al),
+                 "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    # main TSV must NOT contain the internally injected seq/qual columns
+    assert out.read_text() == open(
+        os.path.join(fx, "golden_output.tsv")).read()
+    assert un.read_text() == open(
+        os.path.join(fx, "golden_tee_un.fq")).read()
+    assert al.read_text() == open(
+        os.path.join(fx, "golden_tee_al.fq")).read()
+
+
+def test_read_tee_conc_and_gz(tmp_path):
+    """--al-conc splits paired rows into two mate files
+    (centrifuge:898-928); -gz variants compress (decompressed bytes
+    compared: gzip headers embed timestamps)."""
+    import gzip
+    fx = fixture_path("synth")
+    out = tmp_path / "o.tsv"
+    alc = tmp_path / "alc.fq"
+    unc = tmp_path / "unc.fq.gz"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-1", os.path.join(fx, "reads_1.fq"),
+                 "-2", os.path.join(fx, "reads_2.fq"),
+                 "--al-conc", str(alc), "--un-conc-gz", str(unc),
+                 "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == open(
+        os.path.join(fx, "golden_paired.tsv")).read()
+    assert (tmp_path / "alc.1.fq").read_text() == open(
+        os.path.join(fx, "golden_tee_alc.1.fq")).read()
+    assert (tmp_path / "alc.2.fq").read_text() == open(
+        os.path.join(fx, "golden_tee_alc.2.fq")).read()
+    # all pairs classify on this fixture: un-conc files exist and are empty
+    with gzip.open(str(tmp_path / "unc.fq.1.gz")) as f:
+        assert f.read() == b""
+
+
+def test_mate_file_mismatch_errors(tmp_path):
+    """Unequal -1/-2 read counts abort like the reference
+    (pat.cpp:270-279), instead of silently truncating."""
+    fx = fixture_path("synth")
+    short = tmp_path / "short_2.fq"
+    lines = open(os.path.join(fx, "reads_2.fq")).read().splitlines()
+    short.write_text("\n".join(lines[:len(lines) - 8]) + "\n")
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-1", os.path.join(fx, "reads_1.fq"),
+                 "-2", str(short), "-S", str(tmp_path / "o.tsv"),
+                 "--report-file", ""])
+    assert r.returncode == 1
+    assert "fewer reads in file specified with -2" in r.stderr
