@@ -8,14 +8,22 @@ design generalizes both axes onto a 2-D `jax.sharding.Mesh`:
     device runs the lockstep search loop on its lane slice.
   * axis "fm": the packed BWT block table, the ftab, and the SA sample are
     sharded by row range -- the analog of tensor parallelism, needed when
-    the index exceeds one chip's HBM (nt-scale, >64 GB). Every rank query
+    the index exceeds one chip's HBM (the >=4 GB class the 64-bit index
+    format exists for: btypes.h:24-31, README.md:41-43). Every rank query
     is answered by the shard owning that BWT row: each member computes a
     masked partial count and a `psum` over "fm" reconstitutes the full
     value on all members (collectives ride ICI).
 
-All devices in one "fm" group hold identical lane state, so the
-`lax.while_loop` trip counts agree and the psum inside the loop body is
-uniform; different "dp" rows run fully independent loops.
+Both the narrow (int32 rows) and the WIDE (>=2^31 bases, int64 rows,
+64-bit occ checkpoints split lo/hi) block layouts are supported; wide is
+exactly the regime BWT-range sharding exists for.
+
+`ShardedSearchEngine` exposes the same search/resolve surface as the
+single-chip BatchSearchEngine, so the full classification pipeline --
+search, extension fixpoint, native assignment tail, selection, report --
+runs unchanged on top of the mesh and produces byte-identical output
+(tests/test_parallel.py asserts TSV equality against the single-chip
+goldens).
 
 Host-side merge of per-shard metrics mirrors the reference's mutex merge
 (centrifuge.cpp:2752) as a psum epilogue.
@@ -25,18 +33,21 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..index.cf_io import CFIndex
-from ..ops.fm_jax import (BLOCK_BASES, ROW_I32, WORDS_PER_BLOCK,
+from ..ops.fm_jax import (BLOCK_BASES, WORDS_PER_BLOCK, pack_bwt_blocks,
                           rank_in_block)
-from ..classify.engine import FMKernels, search_loop
+from ..classify.engine import FMKernels, search_loop, _bucket
 
 
 def _pad_to(arr: np.ndarray, mult: int, fill=0) -> np.ndarray:
@@ -52,17 +63,26 @@ def _pad_to(arr: np.ndarray, mult: int, fill=0) -> np.ndarray:
 class ShardedFMArrays:
     """Host-prepped, fm-axis-padded index arrays + geometry."""
 
-    blocks: np.ndarray      # uint32[nblk_pad, 36]
-    fchr: np.ndarray        # int32[5] (replicated)
-    ftab_tb: np.ndarray     # int32[4^fc, 2] stacked (top, bot)
+    blocks: np.ndarray      # uint32[nblk_pad, 36|40]
+    fchr: np.ndarray        # row-dtype[5] (replicated)
+    ftab_tb: np.ndarray     # row-dtype[4^fc, 2] stacked (top, bot)
     offs: np.ndarray        # int32[offs_pad]
-    boundary_rows: np.ndarray   # int32[nb] (replicated; tiny)
+    boundary_rows: np.ndarray   # row-dtype[nb] (replicated; tiny)
     boundary_refs: np.ndarray   # int32[nb]
     zoff: int
     bwt_len: int
     offrate: int
     npat: int
     n_fm: int
+    wide: bool
+
+    @property
+    def row_dtype(self):
+        return np.int64 if self.wide else np.int32
+
+    @property
+    def word_off(self) -> int:
+        return 8 if self.wide else 4
 
     @property
     def nblk_per(self) -> int:
@@ -77,56 +97,51 @@ class ShardedFMArrays:
         return self.offs.shape[0] // self.n_fm
 
     @staticmethod
-    def build(idx: CFIndex, n_fm: int) -> "ShardedFMArrays":
-        if idx.bwt_len >= (1 << 31):
-            raise NotImplementedError("indexes >= 2^31 bases need the wide path")
-        bwt = idx.bwt
-        n = bwt.shape[0]
-        nblk = n // BLOCK_BASES + 1
-        padded = np.zeros(nblk * BLOCK_BASES, dtype=np.uint8)
-        padded[:n] = bwt
-        b = padded.reshape(-1, 16).astype(np.uint32)
-        words = np.zeros(b.shape[0], dtype=np.uint32)
-        for i in range(16):
-            words |= b[:, i] << (2 * i)
-        words = words.reshape(nblk, WORDS_PER_BLOCK)
-        blocks_codes = padded.reshape(nblk, BLOCK_BASES)
-        occ = np.zeros((nblk, 4), dtype=np.uint32)
-        for c in range(4):
-            cnt = (blocks_codes == c).sum(axis=1).astype(np.uint64)
-            occ[1:, c] = np.cumsum(cnt)[:-1]
-        rows = np.concatenate([occ, words], axis=1)
+    def build(idx: CFIndex, n_fm: int, wide: bool = None) -> "ShardedFMArrays":
+        if wide is None:
+            wide = idx.bwt_len >= (1 << 31)
+        if wide and not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "index >= 2^31 bases needs the wide path: enable 64-bit "
+                "mode first (jax.config.update('jax_enable_x64', True))")
+        rows = pack_bwt_blocks(idx.bwt, wide)
+        it = np.int64 if wide else np.int32
 
         if (1 << (2 * idx.ftab_chars)) % n_fm != 0:
             raise ValueError("ftab size must divide the fm axis")
         return ShardedFMArrays(
             blocks=_pad_to(rows, n_fm),
-            fchr=idx.fchr.astype(np.int32),
-            ftab_tb=np.stack([idx.ftab_top.astype(np.int32),
-                              idx.ftab_bot.astype(np.int32)], axis=1),
+            fchr=idx.fchr.astype(it),
+            ftab_tb=np.stack([idx.ftab_top.astype(it),
+                              idx.ftab_bot.astype(it)], axis=1),
             offs=_pad_to(idx.offs.astype(np.int32), n_fm),
-            boundary_rows=idx.boundary_rows.astype(np.int32),
+            boundary_rows=idx.boundary_rows.astype(it),
             boundary_refs=idx.boundary_refidx.astype(np.int32),
             zoff=int(idx.zoff),
             bwt_len=int(idx.bwt_len),
             offrate=int(idx.offrate),
             npat=int(idx.npat),
             n_fm=n_fm,
+            wide=wide,
         )
 
 
-def _shard_kernels(blocks_l, fchr, ftab_tb_l, zoff,
-                   nblk_per, nftab_per, num_ftab, axis: str) -> FMKernels:
+def _shard_kernels(sh: ShardedFMArrays, blocks_l, fchr, ftab_tb_l, zoff,
+                   axis: str) -> FMKernels:
     """FMKernels over a local BWT-range slice: masked gather + psum."""
+    nblk_per = sh.nblk_per
+    nftab_per = sh.nftab_per
+    word_off = sh.word_off
     fm_idx = jax.lax.axis_index(axis)
-    blk_base = (fm_idx * nblk_per).astype(jnp.int32)
+    idt = jnp.int64 if sh.wide else jnp.int32
+    blk_base = (fm_idx * nblk_per).astype(idt)
     ftab_base = (fm_idx * nftab_per).astype(jnp.int32)
 
     def rank(rows, chars):
         blk = (rows >> 9) - blk_base
         valid = (blk >= 0) & (blk < nblk_per)
         data = blocks_l[jnp.clip(blk, 0, nblk_per - 1)]
-        r = rank_in_block(data, rows & 511, chars, zoff, rows)
+        r = rank_in_block(data, rows & 511, chars, zoff, rows, word_off)
         return jax.lax.psum(jnp.where(valid, r, 0), axis)
 
     def lf(rows, chars):
@@ -136,9 +151,10 @@ def _shard_kernels(blocks_l, fchr, ftab_tb_l, zoff,
         blk = (rows >> 9) - blk_base
         valid = (blk >= 0) & (blk < nblk_per)
         data = blocks_l[jnp.clip(blk, 0, nblk_per - 1)]
-        within = rows & 511
-        word = data[jnp.arange(rows.shape[0]), 4 + (within >> 4)]
-        ch = ((word >> (2 * (within & 15).astype(jnp.uint32))) & 3).astype(jnp.int32)
+        within = (rows & 511).astype(jnp.int32)
+        word = data[jnp.arange(rows.shape[0]), word_off + (within >> 4)]
+        ch = ((word >> (2 * (within & 15).astype(jnp.uint32))) & 3
+              ).astype(jnp.int32)
         return jax.lax.psum(jnp.where(valid, ch, 0), axis)
 
     def lf_pair(rows_t, rows_b, chars):
@@ -149,10 +165,11 @@ def _shard_kernels(blocks_l, fchr, ftab_tb_l, zoff,
         valid = (blk >= 0) & (blk < nblk_per)
         data = blocks_l[jnp.clip(blk, 0, nblk_per - 1)]
         within = rows & 511
-        r = rank_in_block(data, within, ch2, zoff, rows)
+        r = rank_in_block(data, within, ch2, zoff, rows, word_off)
         r = jax.lax.psum(jnp.where(valid, r, 0), axis)
         lf2 = fchr[ch2] + r
-        word = data[jnp.arange(2 * B), 4 + (within >> 4)]
+        word = data[jnp.arange(2 * B),
+                    word_off + (within.astype(jnp.int32) >> 4)]
         ch = ((word >> (2 * (within & 15).astype(jnp.uint32))) & 3
               ).astype(jnp.int32)
         topchar = jax.lax.psum(jnp.where(valid[:B], ch[:B], 0), axis)
@@ -168,105 +185,13 @@ def _shard_kernels(blocks_l, fchr, ftab_tb_l, zoff,
         return tb[:, 0], tb[:, 1]
 
     return FMKernels(ftab_lookup=ftab_lookup, lf_pair=lf_pair, lf=lf,
-                     bwt_char=bwt_char, zoff=zoff, num_ftab=num_ftab)
+                     bwt_char=bwt_char, zoff=zoff,
+                     num_ftab=sh.ftab_tb.shape[0], row_dtype=idt)
 
 
-def make_sharded_step(mesh: Mesh, sh: ShardedFMArrays,
-                      min_hitlen: int = 22, max_hits: int = 8,
-                      resolve_steps: int = 4096):
-    """Build the jitted multi-chip classification device step.
-
-    The step = full greedy search for every lane + SA resolution of each
-    recorded hit's `top` row + a psum'd per-shard read counter (the metrics
-    merge). Lanes are sharded over "dp"; the index over "fm".
-
-    Returns fn(rseq, lengths, start) ->
-        (h_top, h_bot, h_off, h_len, nhits, sums, tidx, reads_done)
-    with lane-major outputs gathered to global arrays.
-    """
-    increment = 10 if 2 * min_hitlen <= 33 else 2 * min_hitlen - 33
-    num_ftab = sh.ftab_tb.shape[0]
-    nblk_per = sh.nblk_per
-    nftab_per = sh.nftab_per
-    noffs_per = sh.noffs_per
-    zoff = jnp.int32(sh.zoff)
-    offrate = sh.offrate
-    sample_mask = (1 << offrate) - 1
-    narrow = sh.npat <= 0xFFFF
-    has_bounds = sh.boundary_rows.shape[0] > 0
-
-    def body(blocks_l, fchr, ftab_tb_l, offs_l, brows, brefs,
-             rseq, lengths, start):
-        kern = _shard_kernels(blocks_l, fchr, ftab_tb_l, zoff,
-                              nblk_per, nftab_per, num_ftab, "fm")
-        h_top, h_bot, h_off, h_len, nhits, sums = search_loop(
-            kern, rseq, lengths, start, min_hitlen, increment, max_hits,
-            first_hit_only=False)
-
-        # --- batched SA resolution of every hit top row ---
-        fm_idx = jax.lax.axis_index("fm")
-        offs_base = (fm_idx * noffs_per).astype(jnp.int32)
-
-        def try_offset(rows):
-            tidx = jnp.full_like(rows, -1)
-            sampled = (rows & sample_mask) == 0
-            li = (rows >> offrate) - offs_base
-            lvalid = (li >= 0) & (li < noffs_per)
-            sval = jnp.where(lvalid,
-                             offs_l[jnp.clip(li, 0, noffs_per - 1)], 0)
-            sval = jax.lax.psum(sval, "fm")
-            tidx = jnp.where(sampled, sval, tidx)
-            if has_bounds:
-                pos = jnp.searchsorted(brows, rows)
-                posc = jnp.clip(pos, 0, brows.shape[0] - 1)
-                is_b = (brows[posc] == rows) & ~sampled
-                bval = brefs[posc]
-                if narrow:
-                    bval = bval & 0xFFFF
-                last = brows[-1]
-                is_b = is_b & (last > 0) & (rows <= last)
-                tidx = jnp.where(is_b, bval, tidx)
-            return jnp.where(rows == zoff, 0, tidx)
-
-        L = rseq.shape[0]
-        rows0 = jnp.clip(h_top.reshape(-1), 0, sh.bwt_len - 1)
-        live = (h_top.reshape(-1) >= 0)
-
-        def rcond(state):
-            rows, tidx, it = state
-            return ((tidx < 0) & live).any() & (it < resolve_steps)
-
-        def rbody(state):
-            rows, tidx, it = state
-            unresolved = (tidx < 0) & live
-            step_rows = jnp.where(unresolved, rows, 0)
-            c = kern.bwt_char(step_rows)
-            nxt = kern.lf(step_rows, c)
-            rows = jnp.where(unresolved, nxt, rows)
-            tidx = jnp.where(unresolved, try_offset(rows), tidx)
-            return rows, tidx, it + 1
-
-        tidx0 = jnp.where(live, try_offset(rows0), -2)
-        _, tidx, _ = jax.lax.while_loop(
-            rcond, rbody, (rows0, tidx0, jnp.int32(0)))
-        tidx = tidx.reshape(L, max_hits)
-
-        # --- metrics merge: reads finished on this dp shard, summed over dp
-        reads_done = jax.lax.psum(
-            jnp.sum((lengths > 0).astype(jnp.int32)), "dp")
-        return h_top, h_bot, h_off, h_len, nhits, sums, tidx, reads_done
-
-    mapped = shard_map(
-        body, mesh=mesh,
-        in_specs=(P("fm", None), P(), P("fm", None), P("fm"), P(), P(),
-                  P("dp", None), P("dp"), P("dp")),
-        out_specs=(P("dp", None), P("dp", None), P("dp", None),
-                   P("dp", None), P("dp"), P("dp"), P("dp", None), P()),
-        check_rep=False,
-    )
-
+def _device_arrays(mesh: Mesh, sh: ShardedFMArrays):
     sharding = lambda *spec: NamedSharding(mesh, P(*spec))
-    dev_arrays = (
+    return (
         jax.device_put(sh.blocks, sharding("fm", None)),
         jax.device_put(sh.fchr, sharding()),
         jax.device_put(sh.ftab_tb, sharding("fm", None)),
@@ -275,11 +200,242 @@ def make_sharded_step(mesh: Mesh, sh: ShardedFMArrays,
         jax.device_put(sh.boundary_refs, sharding()),
     )
 
-    @jax.jit
-    def step(rseq, lengths, start):
-        return mapped(*dev_arrays, rseq, lengths, start)
+
+def _sharded_try_offset(sh: ShardedFMArrays, offs_l, brows, brefs, zoff):
+    """try_offset over a sharded SA sample: masked local lookup + psum."""
+    offrate = sh.offrate
+    sample_mask = (1 << offrate) - 1
+    noffs_per = sh.noffs_per
+    narrow_pat = sh.npat <= 0xFFFF
+    has_bounds = sh.boundary_rows.shape[0] > 0
+    fm_idx = jax.lax.axis_index("fm")
+    offs_base = (fm_idx * noffs_per).astype(jnp.int32)
+
+    def try_offset(rows):
+        tidx = jnp.full(rows.shape, -1, jnp.int32)
+        sampled = (rows & sample_mask) == 0
+        li = (rows >> offrate).astype(jnp.int32) - offs_base
+        lvalid = (li >= 0) & (li < noffs_per)
+        sval = jnp.where(lvalid, offs_l[jnp.clip(li, 0, noffs_per - 1)], 0)
+        sval = jax.lax.psum(sval, "fm")
+        tidx = jnp.where(sampled, sval, tidx)
+        if has_bounds:
+            pos = jnp.searchsorted(brows, rows)
+            posc = jnp.clip(pos, 0, brows.shape[0] - 1)
+            is_b = (brows[posc] == rows) & ~sampled
+            bval = brefs[posc]
+            if narrow_pat:
+                bval = bval & 0xFFFF
+            last = brows[-1]
+            is_b = is_b & (last > 0) & (rows <= last)
+            tidx = jnp.where(is_b, bval, tidx)
+        return jnp.where(rows == zoff, 0, tidx)
+
+    return try_offset
+
+
+def make_sharded_search(mesh: Mesh, sh: ShardedFMArrays,
+                        min_hitlen: int = 22):
+    """Jitted full-scan search over the (dp, fm) mesh.
+
+    Returns fn(rseq, lengths, start, max_hits, first_hit_only) with the
+    same outputs as the single-chip search_loop, gathered lane-major."""
+    increment = 10 if 2 * min_hitlen <= 33 else 2 * min_hitlen - 33
+    zoff = jnp.asarray(sh.zoff, jnp.int64 if sh.wide else jnp.int32)
+    dev = _device_arrays(mesh, sh)
+
+    @functools.partial(jax.jit, static_argnames=("max_hits",
+                                                 "first_hit_only"))
+    def step(rseq, lengths, start, max_hits: int, first_hit_only: bool):
+        def body(blocks_l, fchr, ftab_tb_l, offs_l, brows, brefs,
+                 rseq, lengths, start):
+            kern = _shard_kernels(sh, blocks_l, fchr, ftab_tb_l, zoff, "fm")
+            return search_loop(kern, rseq.astype(jnp.int32), lengths,
+                               start, min_hitlen, increment, max_hits,
+                               first_hit_only)
+
+        mapped = shard_map(
+            body, mesh=mesh,
+            in_specs=(P("fm", None), P(), P("fm", None), P("fm"), P(), P(),
+                      P("dp", None), P("dp"), P("dp")),
+            out_specs=(P("dp", None), P("dp", None), P("dp", None),
+                       P("dp", None), P("dp"), P("dp")),
+            check_vma=False,
+        )
+        return mapped(*dev, rseq, lengths, start)
 
     return step
+
+
+def make_sharded_resolver(mesh: Mesh, sh: ShardedFMArrays,
+                          max_steps: int = 4096):
+    """Jitted arbitrary-row SA resolver over the mesh: rows are
+    dp-sharded, each LF-walk step is a masked local rank + psum over fm
+    (the sharded analog of ops/fm_jax.resolve_rows_core)."""
+    zoff = jnp.asarray(sh.zoff, jnp.int64 if sh.wide else jnp.int32)
+    dev = _device_arrays(mesh, sh)
+
+    @jax.jit
+    def resolve(rows):
+        def body(blocks_l, fchr, ftab_tb_l, offs_l, brows, brefs, rows):
+            kern = _shard_kernels(sh, blocks_l, fchr, ftab_tb_l, zoff, "fm")
+            try_offset = _sharded_try_offset(sh, offs_l, brows, brefs, zoff)
+
+            def cond(state):
+                rows, tidx, it = state
+                return (tidx < 0).any() & (it < max_steps)
+
+            def walk(state):
+                rows, tidx, it = state
+                unresolved = tidx < 0
+                step_rows = jnp.where(unresolved, rows, 0)
+                c = kern.bwt_char(step_rows)
+                nxt = kern.lf(step_rows, c)
+                rows = jnp.where(unresolved, nxt, rows)
+                tidx = jnp.where(unresolved, try_offset(rows), tidx)
+                return rows, tidx, it + 1
+
+            def unrolled(state):
+                for _ in range(4):
+                    state = walk(state)
+                return state
+
+            tidx = try_offset(rows)
+            rows, tidx, _ = jax.lax.while_loop(
+                cond, unrolled, (rows, tidx, jnp.int32(0)))
+            return tidx
+
+        mapped = shard_map(
+            body, mesh=mesh,
+            in_specs=(P("fm", None), P(), P("fm", None), P("fm"), P(), P(),
+                      P("dp")),
+            out_specs=P("dp"),
+            check_vma=False,
+        )
+        return mapped(*dev, rows)
+
+    resolve.wide = sh.wide
+    return resolve
+
+
+class ShardedSearchEngine:
+    """Drop-in BatchSearchEngine replacement running on a (dp, fm) mesh.
+
+    Exposes the same pack/search/search_async/search_collect/
+    search_first_hits surface, so TPUClassificationPipeline runs the FULL
+    classification (search + extension fixpoint + native assignment tail
+    + selection + report) over the mesh unchanged.
+    """
+
+    FIRST_MAX_HITS = 16
+    FIRST_HITS_CHUNK = 4096
+
+    def __init__(self, sh: ShardedFMArrays, mesh: Mesh,
+                 min_hitlen: int = 22):
+        self.sh = sh
+        self.mesh = mesh
+        self.min_hitlen = min_hitlen
+        self.n_dp = mesh.shape["dp"]
+        self._search = make_sharded_search(mesh, sh, min_hitlen)
+        self.lane_bucket_lo = max(256, self.n_dp)
+        self.lmax_lo = 32
+
+    # pack is identical to the single-chip engine's
+    def pack(self, seqs, lmax: int, nlanes: int):
+        rseq = np.zeros((nlanes, lmax + 10), dtype=np.int8)
+        lengths = np.zeros(nlanes, dtype=np.int32)
+        if seqs:
+            lens = np.fromiter((len(x) for x in seqs), np.int32, len(seqs))
+            lengths[: len(seqs)] = lens
+            total = int(lens.sum())
+            if total:
+                allseq = np.concatenate(seqs)
+                rows = np.repeat(np.arange(len(seqs), dtype=np.int64), lens)
+                starts = np.cumsum(lens) - lens
+                col = np.arange(total, dtype=np.int64) - starts[rows]
+                rseq[rows, lens[rows] - 1 - col] = allseq
+        return rseq, lengths
+
+    def _dims(self, seqs):
+        lmax = _bucket(max((len(s) for s in seqs), default=1),
+                       lo=self.lmax_lo)
+        nlanes = _bucket(len(seqs), lo=max(self.lane_bucket_lo, self.n_dp))
+        return lmax, nlanes
+
+    def _run(self, rseq, lengths, start, max_hits, first_hit_only):
+        out = self._search(jnp.asarray(rseq), jnp.asarray(lengths),
+                           jnp.asarray(start), max_hits=max_hits,
+                           first_hit_only=first_hit_only)
+        return [np.asarray(a) for a in out]
+
+    def search_async(self, seqs, presolve: bool = False, khits: int = 5,
+                     ihits: int = 200):
+        lmax, nlanes = self._dims(seqs)
+        rseq, lengths = self.pack(seqs, lmax, nlanes)
+        start = np.zeros(nlanes, dtype=np.int32)
+        mh = min(self.FIRST_MAX_HITS, lmax)
+        out = self._search(jnp.asarray(rseq), jnp.asarray(lengths),
+                           jnp.asarray(start), max_hits=mh,
+                           first_hit_only=False)
+        return (out, rseq, lengths, mh, lmax, nlanes)
+
+    def search_collect(self, handle, L: int):
+        out, rseq, lengths, mh, lmax, nlanes = handle
+        out = [np.asarray(a) for a in out]
+        out = self._handle_overflow(out, rseq, lengths, mh, lmax, nlanes)
+        return [a[:L] for a in out], None
+
+    def search(self, seqs):
+        arrays, _ = self.search_collect(self.search_async(seqs), len(seqs))
+        return arrays
+
+    def _handle_overflow(self, out, rseq, lengths, mh, lmax, nlanes):
+        over = np.nonzero(out[4] > mh)[0]
+        if over.shape[0]:
+            nover = _bucket(over.shape[0], lo=max(32, self.n_dp))
+            mh2 = min(_bucket(int(out[4].max()), lo=2 * mh), lmax)
+            rseq2 = np.zeros((nover, rseq.shape[1]), dtype=rseq.dtype)
+            rseq2[: over.shape[0]] = rseq[over]
+            lengths2 = np.zeros(nover, dtype=np.int32)
+            lengths2[: over.shape[0]] = lengths[over]
+            full = self._run(rseq2, lengths2,
+                             np.zeros(nover, dtype=np.int32), mh2, False)
+            wide = [np.zeros((nlanes, mh2), a.dtype) if a.ndim == 2 else a
+                    for a in out]
+            for k in range(4):
+                w = out[k].shape[1]
+                wide[k][:, :w] = out[k]
+                wide[k][over] = full[k][: over.shape[0]]
+            wide[4] = out[4].copy()
+            wide[4][over] = full[4][: over.shape[0]]
+            wide[5] = out[5].copy()
+            wide[5][over] = full[5][: over.shape[0]]
+            out = wide
+        return out
+
+    def search_first_hits(self, seqs, offsets: np.ndarray):
+        L = len(seqs)
+        lmax = _bucket(max((len(s) for s in seqs), default=1),
+                       lo=self.lmax_lo)
+        chunk = self.FIRST_HITS_CHUNK
+        outs = []
+        for c0 in range(0, L, chunk):
+            part = seqs[c0: c0 + chunk]
+            rseq, lengths = self.pack(part, lmax, chunk)
+            start = np.zeros(chunk, dtype=np.int32)
+            start[: len(part)] = offsets[c0: c0 + chunk].astype(np.int32)
+            out = self._run(rseq, lengths, start, 1, True)
+            outs.append([a[: len(part)] for a in out])
+        if len(outs) == 1:
+            return outs[0]
+        return [np.concatenate([o[k] for o in outs]) for k in range(6)]
+
+
+def make_mesh(n_dp: int, n_fm: int, devices=None) -> Mesh:
+    """Build a 2-D (dp, fm) mesh over the given (or all) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= n_dp * n_fm, (devices.size, n_dp, n_fm)
+    return Mesh(devices[: n_dp * n_fm].reshape(n_dp, n_fm), ("dp", "fm"))
 
 
 def pad_lanes(rseq: np.ndarray, lengths: np.ndarray, start: np.ndarray,

@@ -14,6 +14,10 @@ if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# the wide (>=2^31-base) index layout needs 64-bit row dtypes; kernels pin
+# their dtypes explicitly so enabling x64 globally is safe for the narrow
+# paths too
+jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
