@@ -16,11 +16,19 @@ from .sa import suffix_array
 from .writer import write_index
 
 
+# above this size the all-in-RAM SA-IS (~16 B/base) would not fit typical
+# hosts; switch to the bounded-memory blockwise path automatically
+AUTO_BLOCKWISE_BASES = 1 << 31
+
+
 def build_index(fasta_paths: List[str], basename: str,
                 conversion_table: str, taxonomy_tree: str,
                 name_table: str = "", size_table: str = "",
                 offrate: int = 4, ftab_chars: int = 10,
-                line_rate: int = 7, verbose: bool = False) -> None:
+                line_rate: int = 7, verbose: bool = False,
+                bmax: Optional[int] = None, dcv: int = 1024,
+                blockwise: Optional[bool] = None,
+                nthreads: Optional[int] = None) -> None:
     t0 = time.time()
     codes, szs, refnames, plen = scan_fastas(fasta_paths)
     if verbose:
@@ -28,12 +36,25 @@ def build_index(fasta_paths: List[str], basename: str,
               f"{codes.shape[0]} bases ({time.time()-t0:.1f}s)")
     if codes.shape[0] == 0:
         raise ValueError("no DNA sequence found in input")
-    t0 = time.time()
-    sa = suffix_array(codes)
-    if verbose:
-        print(f"  suffix array built ({time.time()-t0:.1f}s)")
+    if blockwise is None:
+        blockwise = bmax is not None \
+            or codes.shape[0] >= AUTO_BLOCKWISE_BASES
     t0 = time.time()
     try:
+        if blockwise:
+            from .blockwise import write_index_blockwise
+            write_index_blockwise(
+                basename, codes, szs, refnames, plen, conversion_table,
+                taxonomy_tree, name_table, size_table, bmax=bmax, dcv=dcv,
+                offrate=offrate, ftab_chars=ftab_chars,
+                line_rate=line_rate, nthreads=nthreads)
+            if verbose:
+                print(f"  blockwise index written ({time.time()-t0:.1f}s)")
+            return
+        sa = suffix_array(codes)
+        if verbose:
+            print(f"  suffix array built ({time.time()-t0:.1f}s)")
+        t0 = time.time()
         write_index(basename, codes, sa, szs, refnames, plen,
                     conversion_table, taxonomy_tree, name_table, size_table,
                     offrate, ftab_chars, line_rate)

@@ -29,11 +29,15 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", "--threads", type=int, default=1, metavar="<int>",
                    help="accepted for compatibility")
     p.add_argument("--bmax", type=int, default=None, metavar="<int>",
-                   help="accepted for compatibility (SA-IS is single-pass)")
-    p.add_argument("--bmaxdivn", type=int, default=4, metavar="<int>",
-                   help="accepted for compatibility")
+                   help="max suffixes per blockwise-sort block; setting "
+                   "this (or --bmaxdivn) selects the bounded-memory "
+                   "blockwise builder")
+    p.add_argument("--bmaxdivn", type=int, default=None, metavar="<int>",
+                   help="max suffixes per block as a fraction of the "
+                   "total length (reference default 4)")
     p.add_argument("--dcv", type=int, default=1024, metavar="<int>",
-                   help="accepted for compatibility")
+                   help="difference-cover period for the blockwise "
+                   "builder (power of 2, default 1024)")
     p.add_argument("--noauto", action="store_true",
                    help="accepted for compatibility")
     p.add_argument("--nodc", action="store_true",
@@ -53,6 +57,12 @@ def run(argv: List[str]) -> int:
     args = make_parser().parse_args(argv)
     from ..build.builder import build_index
     fastas = [f for f in args.reference_in.split(",") if f]
+    bmax = args.bmax
+    blockwise = None
+    if bmax is None and args.bmaxdivn is not None:
+        # resolved against the scanned length inside the blockwise path
+        bmax = -args.bmaxdivn  # sentinel: divide-by-n
+        blockwise = True
     build_index(
         fastas, args.cf_index_base,
         conversion_table=args.conversion_table,
@@ -63,6 +73,8 @@ def run(argv: List[str]) -> int:
         ftab_chars=args.ftabchars,
         line_rate=args.linerate,
         verbose=not args.quiet,
+        bmax=bmax, dcv=args.dcv, blockwise=blockwise,
+        nthreads=args.threads,
     )
     if args.kmer_count > 0:
         from ..build.ref_read import scan_fastas

@@ -89,3 +89,36 @@ def test_built_index_classifies(tmp_path):
     rows = [pipe.formatter.header()] + pipe.classify_batch_unpaired(reads)
     golden = open(os.path.join(fx, "golden_output.tsv")).read().splitlines()
     assert rows == golden[: len(rows)]
+
+
+@pytest.mark.parametrize("bmax,dcv", [(100000, 1024), (23000, 256)])
+def test_blockwise_build_byte_parity(tmp_path, bmax, dcv):
+    """The bounded-memory blockwise builder (difference-cover sample +
+    rank-quantile buckets + streaming emission, build/blocksa.cpp +
+    build/blockwise.py) must reproduce the reference-built fixture index
+    byte-for-byte, across block sizes that force many blocks."""
+    fx = fixture_path("synth")
+    base = str(tmp_path / "idx")
+    build_index([os.path.join(fx, "db.fa")], base,
+                os.path.join(fx, "conv.dmp"), os.path.join(fx, "nodes.dmp"),
+                os.path.join(fx, "names.dmp"), bmax=bmax, dcv=dcv,
+                blockwise=True)
+    for ext in ("1", "2", "3", "4"):
+        ours = f"{base}.{ext}.cf"
+        ref = os.path.join(fx, f"synth.{ext}.cf")
+        assert filecmp.cmp(ours, ref, shallow=False), f".{ext}.cf differs"
+
+
+def test_blockwise_sa_matches_sais():
+    """Blockwise SA order == SA-IS order, including the end-larger
+    convention, on repetitive texts."""
+    from centrifuge_tpu.build.blockwise import BlockwiseSA
+    rng = np.random.default_rng(7)
+    for n, bmax, dcv in ((4000, 500, 64), (30000, 2500, 256)):
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        codes[n // 3: n // 3 + n // 5] = codes[: n // 5]  # long repeat
+        want = suffix_array(codes)
+        bsa = BlockwiseSA(codes, bmax=bmax, dcv=dcv)
+        got = np.concatenate(list(bsa.blocks()))
+        bsa.close()
+        np.testing.assert_array_equal(got, want)
