@@ -56,25 +56,35 @@ class TPUClassificationPipeline:
         (parallel/sharded.py); everything downstream (extension fixpoint,
         native assignment, selection, report) is identical, so output is
         byte-identical to the single-chip path."""
-        self.idx = idx
-        self.cfg = cfg or PipelineConfig()
+        cfg = cfg or PipelineConfig()
         if mesh is not None:
             from ..parallel.sharded import (ShardedFMArrays,
                                             ShardedSearchEngine,
                                             make_sharded_resolver)
             n_fm = n_fm or mesh.shape["fm"]
             sharr = ShardedFMArrays.build(idx, n_fm, wide=wide)
-            self.dfm = None
-            self.sharded = sharr
-            self.engine = ShardedSearchEngine(
-                sharr, mesh, self.cfg.classifier.min_hitlen)
-            self.resolver = make_sharded_resolver(mesh, sharr)
+            engine = ShardedSearchEngine(
+                sharr, mesh, cfg.classifier.min_hitlen)
+            resolver = make_sharded_resolver(mesh, sharr)
+            self._init_with_engine(idx, cfg, engine, resolver)
         else:
-            self.dfm = DeviceFMIndex.build(idx, device=device, wide=wide)
-            self.sharded = None
-            self.engine = BatchSearchEngine(self.dfm,
-                                            self.cfg.classifier.min_hitlen)
-            self.resolver = make_resolver(self.dfm)
+            dfm = DeviceFMIndex.build(idx, device=device, wide=wide)
+            engine = BatchSearchEngine(dfm, cfg.classifier.min_hitlen)
+            resolver = make_resolver(dfm)
+            self._init_with_engine(idx, cfg, engine, resolver, dfm=dfm)
+
+    def _init_with_engine(self, idx, cfg, engine, resolver, dfm=None,
+                          sync=None):
+        """Wire an (engine, resolver) pair -- single-chip, sharded-mesh,
+        or multi-host (parallel/multihost.py) -- into the shared host
+        pipeline. `sync` is the cross-process scalar max used to keep
+        SPMD processes issuing identical device calls."""
+        self.idx = idx
+        self.cfg = cfg
+        self.dfm = dfm
+        self.engine = engine
+        self.resolver = resolver
+        self.sync = sync
         # host-side classifier: algorithm only, no FM oracle needed
         self.classifier = Classifier(idx, None, self.cfg.classifier)
         self.formatter = ResultFormatter(idx, self.cfg)
@@ -168,7 +178,7 @@ class TPUClassificationPipeline:
             return self.native.process(
                 arrays, lane_map, lane_seqs, units,
                 [False] * len(units), seeds, self.engine, self.resolver,
-                self.metrics, prefetch=prefetch)
+                self.metrics, prefetch=prefetch, round_sync=self.sync)
 
         with ThreadPoolExecutor(max_workers=2) as ex:
             q = deque()
@@ -225,7 +235,7 @@ class TPUClassificationPipeline:
             per_unit, secbest = self.native.process(
                 arrays, lane_map, lane_seqs, units,
                 [False] * len(units), seeds, self.engine, self.resolver,
-                self.metrics, prefetch=prefetch)
+                self.metrics, prefetch=prefetch, round_sync=self.sync)
             return self._emit_rows_preselected(recs, passes, per_unit,
                                                secbest)
         results = self._classify_units(
@@ -345,7 +355,8 @@ class TPUClassificationPipeline:
         seeds = self._paired_seeds(pairs, passes)
         per_unit, secbest = self.native.process(
             arrays, lane_map, lane_seqs, units, paired_flags, seeds,
-            self.engine, self.resolver, self.metrics, prefetch=prefetch)
+            self.engine, self.resolver, self.metrics, prefetch=prefetch,
+            round_sync=self.sync)
         return self._emit_rows_paired(pairs, passes, per_unit, secbest)
 
     def classify_batch_paired(self, pairs: Sequence[Tuple[ReadRec, ReadRec]]

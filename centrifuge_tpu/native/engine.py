@@ -121,13 +121,19 @@ class NativeAssigner:
             self.ctx = None
 
     def process(self, arrays, lane_map, lane_seqs, units, paired_flags,
-                seeds, engine, resolver, metrics=None, prefetch=None):
+                seeds, engine, resolver, metrics=None, prefetch=None,
+                round_sync=None):
         """Run the full host assignment for one batch.
 
         arrays: the 6 per-lane search outputs; lane_map: (unit, mate,
         strand) per lane; units: per unit list of (fw, rc) mate arrays;
         seeds: uint32 per unit. Returns (results_per_unit, secbest_per_unit)
         where each result is a tuple matching AlnResult fields.
+
+        round_sync: cross-process max on host scalars (multi-host SPMD);
+        when set, every process runs the same number of extension rounds
+        and always issues the resolve call so the global device programs
+        stay in lockstep.
         """
         lib = self.lib
         h_top = np.ascontiguousarray(arrays[0], dtype=np.int64)
@@ -164,16 +170,18 @@ class NativeAssigner:
             mo = np.zeros(cap, np.int32)
             for _ in range(64):
                 n = lib.batch_extension_misses(bh, mu, mm, ms_, mo, cap)
-                if n == 0:
+                gn = round_sync(n) if round_sync is not None else n
+                if gn == 0:
                     break
                 seqs = [units[mu[i]][mm[i]][ms_[i]] for i in range(n)]
                 res = engine.search_first_hits(seqs, mo[:n])
-                lib.batch_extension_feed(
-                    bh, n,
-                    np.ascontiguousarray(res[0][:, 0], np.int64),
-                    np.ascontiguousarray(res[1][:, 0], np.int64),
-                    np.ascontiguousarray(res[2][:, 0], np.int32),
-                    np.ascontiguousarray(res[3][:, 0], np.int32))
+                if n:
+                    lib.batch_extension_feed(
+                        bh, n,
+                        np.ascontiguousarray(res[0][:, 0], np.int64),
+                        np.ascontiguousarray(res[1][:, 0], np.int64),
+                        np.ascontiguousarray(res[2][:, 0], np.int32),
+                        np.ascontiguousarray(res[3][:, 0], np.int32))
             else:
                 raise RuntimeError("extension fixpoint did not converge")
 
@@ -214,6 +222,12 @@ class NativeAssigner:
                     values[miss] = np.asarray(
                         resolver(padded))[: mrows.shape[0]]
                 values = np.ascontiguousarray(values, np.int32)
+            elif round_sync is not None:
+                # multi-host: issue the resolve even with zero local
+                # requests so every process runs the same device program
+                rdt = np.int64 if getattr(resolver, "wide", False) \
+                    else np.int32
+                resolver(np.zeros(0, rdt))
             lib.batch_set_resolutions(bh, values, len(values))
 
             # finalize

@@ -190,14 +190,21 @@ def _shard_kernels(sh: ShardedFMArrays, blocks_l, fchr, ftab_tb_l, zoff,
 
 
 def _device_arrays(mesh: Mesh, sh: ShardedFMArrays):
-    sharding = lambda *spec: NamedSharding(mesh, P(*spec))
+    # make_array_from_callback slices the (host-replicated) array per
+    # device index, which is correct in BOTH single- and multi-process
+    # meshes (device_put with a global sharding mis-places shards when
+    # the mesh spans processes)
+    def put(arr, *spec):
+        shd = NamedSharding(mesh, P(*spec))
+        return jax.make_array_from_callback(arr.shape, shd,
+                                            lambda i: arr[i])
     return (
-        jax.device_put(sh.blocks, sharding("fm", None)),
-        jax.device_put(sh.fchr, sharding()),
-        jax.device_put(sh.ftab_tb, sharding("fm", None)),
-        jax.device_put(sh.offs, sharding("fm")),
-        jax.device_put(sh.boundary_rows, sharding()),
-        jax.device_put(sh.boundary_refs, sharding()),
+        put(sh.blocks, "fm", None),
+        put(sh.fchr),
+        put(sh.ftab_tb, "fm", None),
+        put(sh.offs, "fm"),
+        put(sh.boundary_rows),
+        put(sh.boundary_refs),
     )
 
 
