@@ -35,18 +35,9 @@ def _load_native():
     global _LIB
     if _LIB is not None:
         return _LIB
-    so_path = os.path.join(_HERE, "_blocksa.so")
+    from ..native.compile import build_native
     src = os.path.join(_HERE, "blocksa.cpp")
-    if (not os.path.exists(so_path)
-            or os.path.getmtime(so_path) < os.path.getmtime(src)):
-        with tempfile.TemporaryDirectory() as td:
-            tmp = os.path.join(td, "_blocksa.so")
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", src, "-o", tmp,
-                 "-pthread"],
-                check=True, capture_output=True)
-            os.replace(tmp, so_path)
-    lib = ctypes.CDLL(so_path)
+    lib = ctypes.CDLL(build_native(src, extra_flags=("-pthread",)))
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.bsa_create.restype = ctypes.c_void_p

@@ -24,18 +24,10 @@ def _load_native():
     global _LIB, _LIB_FAILED
     if _LIB is not None or _LIB_FAILED:
         return _LIB
-    so_path = os.path.join(_HERE, "_sais.so")
     src = os.path.join(_HERE, "sais.cpp")
     try:
-        if (not os.path.exists(so_path)
-                or os.path.getmtime(so_path) < os.path.getmtime(src)):
-            with tempfile.TemporaryDirectory() as td:
-                tmp_so = os.path.join(td, "_sais.so")
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", src, "-o", tmp_so],
-                    check=True, capture_output=True)
-                os.replace(tmp_so, so_path)
-        lib = ctypes.CDLL(so_path)
+        from ..native.compile import build_native
+        lib = ctypes.CDLL(build_native(src))
         lib.build_sa_2bit.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]

@@ -111,6 +111,8 @@ class PipelineConfig:
     count_kmers: bool = False
     # --qc-filter: drop reads whose qseq filter flag is '0'
     qc_filter: bool = False
+    # --met-read: per-read metrics TSV path (utils.metrics)
+    met_read: str = ""
     # native C++ assignment engine (classify/native); falls back to the
     # Python path automatically if the extension cannot build
     use_native: bool = True

@@ -91,6 +91,10 @@ class TPUClassificationPipeline:
         self.spm = SpeciesMetrics()
         from ..utils.metrics import PerfMetrics
         self.metrics = PerfMetrics()
+        self.met_read = None
+        if self.cfg.met_read:
+            from ..utils.metrics import PerReadMetricsWriter
+            self.met_read = PerReadMetricsWriter(self.cfg.met_read)
         self.native = None
         # the native engine caps stored read positions (kmer counting
         # needs them all), so kmer mode uses the Python path
@@ -124,6 +128,10 @@ class TPUClassificationPipeline:
             rows.extend(self.formatter.rows_for_read(
                 rec.name, len(rec.seq), chosen, secbest, self.spm,
                 unclassified=not chosen, reads=(rec,)))
+            if self.met_read is not None:
+                from .pipeline import format_read_id
+                self.met_read.emit(format_read_id(rec.name), len(rec.seq),
+                                   not ok, len(chosen))
         m.batches += 1
         return rows
 
@@ -263,6 +271,10 @@ class TPUClassificationPipeline:
             rows.extend(self.formatter.rows_for_read(
                 rec.name, len(rec.seq), chosen, sb, self.spm,
                 unclassified=not chosen, reads=(rec,)))
+            if self.met_read is not None:
+                from .pipeline import format_read_id
+                self.met_read.emit(format_read_id(rec.name), len(rec.seq),
+                                   not ok, len(chosen))
         m.batches += 1
         return rows
 
@@ -341,6 +353,10 @@ class TPUClassificationPipeline:
             rows.extend(self.formatter.rows_for_read(
                 r1.name, qlen, chosen, sb, self.spm,
                 unclassified=not chosen, reads=(r1, r2)))
+            if self.met_read is not None:
+                from .pipeline import format_read_id
+                self.met_read.emit(format_read_id(r1.name), qlen,
+                                   not (p1 or p2), len(chosen))
         m.batches += 1
         return rows
 

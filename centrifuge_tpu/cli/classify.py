@@ -136,6 +136,8 @@ def make_parser() -> argparse.ArgumentParser:
                    help="Write interval metrics to stderr")
     p.add_argument("--met", type=int, default=1, metavar="<int>",
                    help="Metrics emission interval in seconds (default 1)")
+    p.add_argument("--met-read", metavar="<path>",
+                   help="Write one metrics row per read to <path>")
     p.add_argument("--engine", default="tpu", choices=["tpu", "oracle"],
                    help="Device batch engine (tpu) or numpy oracle")
     p.add_argument("--version", action="store_true")
@@ -318,7 +320,8 @@ def run(argv: List[str]) -> int:
         exclude_taxids=_parse_taxids(args.exclude_taxids),
     )
     cfg = PipelineConfig(classifier=cls_cfg, seed=args.seed, columns=columns,
-                         qc_filter=args.qc_filter)
+                         qc_filter=args.qc_filter,
+                         met_read=args.met_read or "")
     qconf = QualConfig(solexa=args.solexa_quals, phred64=args.phred64,
                        int_quals=args.int_quals)
 
@@ -479,6 +482,8 @@ def run(argv: List[str]) -> int:
                     emit(row)
 
     tee.close()
+    if getattr(pipe, "met_read", None) is not None:
+        pipe.met_read.close()
     if out is not sys.stdout:
         out.close()
 

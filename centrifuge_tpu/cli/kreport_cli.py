@@ -48,14 +48,23 @@ def run(argv: List[str]) -> int:
                     yield from f
 
     precounted = None
+    pre_total = None
     if args.is_count_table:
+        # mirror the Perl exactly (centrifuge-kreport:72-77): duplicate
+        # taxID rows OVERWRITE the per-taxon count (last row wins) while
+        # seq_count accumulates every row; non-numeric keys (e.g. dotted
+        # lo.hi ids) never match a numeric tree node, so they count only
+        # toward the total
         precounted = {}
+        pre_total = 0.0
         for line in lines():
             parts = line.split()
             if len(parts) < 2:
                 continue
-            tid = int(parts[0].split(".")[0])
-            precounted[tid] = precounted.get(tid, 0.0) + float(parts[1])
+            count = float(parts[1])
+            pre_total += count
+            if parts[0].isdigit():
+                precounted[int(parts[0])] = count
         src = iter(())
     else:
         src = lines()
@@ -64,7 +73,8 @@ def run(argv: List[str]) -> int:
                               min_score=args.min_score,
                               min_length=args.min_length,
                               show_zeros=args.show_zeros,
-                              precounted=precounted):
+                              precounted=precounted,
+                              precount_total=pre_total):
         print(line)
     return 0
 

@@ -83,3 +83,69 @@ def ensure_bigdb(workdir: str, verbose: bool = False) -> str:
         os.replace(os.path.join(workdir, "reads_100k.fq"), reads) \
             if os.path.exists(os.path.join(workdir, "reads_100k.fq")) else None
     return base
+
+
+WIDE_N_GENOMES = 550   # 550 x 4 Mbp = 2.2 Gbp > 2^31: the 64-bit regime
+
+
+def ensure_widedb(workdir: str, verbose: bool = False) -> str:
+    """Create (or reuse) a >2^31-base DB + index (the wide-path regime,
+    btypes.h:24-31) under workdir. Returns the index basename.
+
+    2.2 Gbp fits this host's RAM for an in-memory SA-IS build (~50 GB
+    peak); production nt-scale builds would use the blockwise path.
+    """
+    os.makedirs(workdir, exist_ok=True)
+    base = os.path.join(workdir, "widedb")
+    reads = os.path.join(workdir, "wide_reads.fq")
+    if os.path.exists(base + ".1.cf") and os.path.exists(reads):
+        return base
+
+    rng = np.random.default_rng(SEED + 1)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    fa = os.path.join(workdir, "widedb.fa")
+    conv = os.path.join(workdir, "wconv.dmp")
+    nodes = os.path.join(workdir, "wnodes.dmp")
+    names = os.path.join(workdir, "wnames.dmp")
+
+    if not os.path.exists(fa):
+        if verbose:
+            print("generating 2.2 Gbp database ...", flush=True)
+        with open(fa, "wb") as f, open(conv, "w") as cf:
+            for g in range(WIDE_N_GENOMES):
+                tid = 1000 + g
+                seq = bases[rng.integers(0, 4, GENOME_LEN)]
+                f.write(b">wseq%d wide benchmark genome\n" % g)
+                f.write(b"\n".join(
+                    seq[i: i + 80].tobytes()
+                    for i in range(0, GENOME_LEN, 80)) + b"\n")
+                cf.write(f"wseq{g}\t{tid}\n")
+        with open(nodes, "w") as f:
+            f.write("1\t|\t1\t|\tno rank\t|\n")
+            for d in range(4):
+                f.write(f"{10+d}\t|\t1\t|\tsuperkingdom\t|\n")
+            for ge in range(16):
+                f.write(f"{100+ge}\t|\t{10 + ge % 4}\t|\tgenus\t|\n")
+            for s in range(WIDE_N_GENOMES):
+                f.write(f"{1000+s}\t|\t{100 + s % 16}\t|\tspecies\t|\n")
+        with open(names, "w") as f:
+            f.write("1\t|\troot\t|\t\t|\tscientific name\t|\n")
+            for s in range(WIDE_N_GENOMES):
+                f.write(f"{1000+s}\t|\tWideSpecies{s}\t|\t\t|\t"
+                        "scientific name\t|\n")
+
+    if not os.path.exists(base + ".1.cf"):
+        if verbose:
+            print("building 2.2 Gbp index (in-memory SA-IS) ...", flush=True)
+        from ..build.builder import build_index
+        build_index([fa], base, conv, nodes, names, verbose=verbose,
+                    blockwise=False)
+
+    if not os.path.exists(reads):
+        if verbose:
+            print("simulating 16k wide reads ...", flush=True)
+        from .simulate import SimConfig, simulate
+        simulate(fa, conv, os.path.join(workdir, "wide_reads"),
+                 SimConfig(num_fragments=16384, read_length=150,
+                           error_rate=0.002, seed=11))
+    return base

@@ -33,17 +33,10 @@ def load_native():
     global _LIB, _LIB_FAILED
     if _LIB is not None or _LIB_FAILED:
         return _LIB
-    so_path = os.path.join(_HERE, "_assign.so")
     src = os.path.join(_HERE, "assign.cpp")
     try:
-        if (not os.path.exists(so_path)
-                or os.path.getmtime(so_path) < os.path.getmtime(src)):
-            with tempfile.TemporaryDirectory() as td:
-                tmp = os.path.join(td, "_assign.so")
-                subprocess.run(["g++", "-O2", "-shared", "-fPIC", src,
-                                "-o", tmp], check=True, capture_output=True)
-                os.replace(tmp, so_path)
-        lib = C.CDLL(so_path)
+        from .compile import build_native
+        lib = C.CDLL(build_native(src))
         lib.ctx_create.restype = C.c_void_p
         lib.ctx_create.argtypes = [
             u64p, C.c_int64, u64p, u64p, C.c_int64,

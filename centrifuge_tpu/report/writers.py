@@ -56,7 +56,8 @@ def kreport_lines(idx: CFIndex, classification_rows: Iterable[str],
                   no_lca: bool = False, min_score: Optional[int] = None,
                   min_length: Optional[int] = None,
                   show_zeros: bool = False,
-                  precounted: Optional[Dict[int, float]] = None) -> List[str]:
+                  precounted: Optional[Dict[int, float]] = None,
+                  precount_total: Optional[float] = None) -> List[str]:
     """Generate a Kraken-style report from classification TSV lines.
 
     Reimplements the centrifuge-kreport script (centrifuge-kreport:65-229):
@@ -115,10 +116,13 @@ def kreport_lines(idx: CFIndex, classification_rows: Iterable[str],
     seq_count = 0.0
     if precounted is not None:
         # --is-count-table mode: taxID -> count rows straight in
-        # (centrifuge-kreport:72-78)
+        # (centrifuge-kreport:72-78); the caller supplies the per-line
+        # total separately because duplicate rows overwrite the dict
         for tid, count in precounted.items():
             taxo_counts[tid] = count
             seq_count += count
+        if precount_total is not None:
+            seq_count = precount_total
         classification_rows = iter(())
     header: Optional[List[str]] = None
     col: Dict[str, int] = {}

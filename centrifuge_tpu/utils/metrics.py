@@ -93,3 +93,29 @@ class MetricsEmitter:
         if self.fh is not None:
             self.fh.close()
             self.fh = None
+
+
+PER_READ_COLUMNS = ["time", "secs", "readID", "length", "filtered",
+                    "classified", "assignments"]
+
+
+class PerReadMetricsWriter:
+    """--met-read: one metrics row per processed read (the reference
+    emits a full interval row per read, centrifuge.cpp:2742-2748; the
+    column set here is the adapted per-read subset of our counters)."""
+
+    def __init__(self, path: str):
+        self.fh = open(path, "w")
+        self.fh.write("\t".join(PER_READ_COLUMNS) + "\n")
+        self.t0 = time.time()
+
+    def emit(self, read_id: str, length: int, filtered: bool,
+             n_assignments: int) -> None:
+        secs = time.time() - self.t0
+        self.fh.write("\t".join([
+            time.strftime("%H:%M:%S"), f"{secs:.2f}", read_id,
+            str(length), "1" if filtered else "0",
+            "1" if n_assignments > 0 else "0", str(n_assignments)]) + "\n")
+
+    def close(self) -> None:
+        self.fh.close()

@@ -544,3 +544,32 @@ def test_mate_file_mismatch_errors(tmp_path):
                  "--report-file", ""])
     assert r.returncode == 1
     assert "fewer reads in file specified with -2" in r.stderr
+
+
+def test_kreport_count_table_degenerate_parity():
+    """Duplicate taxID rows overwrite (last wins) while the total sums
+    every row, and dotted lo.hi ids count only toward the total --
+    exactly the Perl script's behaviour (centrifuge-kreport:72-77)."""
+    fx = fixture_path("synth")
+    counts = open(os.path.join(fx, "counts_dup.tsv")).read()
+    r = run_cli(["kreport", "-x", os.path.join(fx, "synth"),
+                 "--is-count-table"], input_text=counts)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == open(
+        os.path.join(fx, "golden_kreport_counts_dup.txt")).read()
+
+
+def test_met_read_per_read_metrics(tmp_path):
+    """--met-read writes one metrics row per read (the reference's
+    per-read reportInterval, centrifuge.cpp:2742-2748, adapted columns)."""
+    fx = fixture_path("synth")
+    met = tmp_path / "met.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-U", os.path.join(fx, "reads.fq"),
+                 "--met-read", str(met),
+                 "-S", str(tmp_path / "o.tsv"), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    lines = met.read_text().splitlines()
+    assert lines[0].startswith("time\tsecs\treadID")
+    assert len(lines) == 3001  # header + one row per read
+    assert lines[1].split("\t")[2] == "chim_0"
