@@ -48,6 +48,12 @@ def make_eval_parser() -> argparse.ArgumentParser:
     p.add_argument("-x", dest="index", required=True, metavar="<cf-idx>")
     p.add_argument("--truth", default=None, metavar="<file>",
                    help=".truth table (else truth is parsed from read names)")
+    p.add_argument("--sql-db", default=None, metavar="<path>",
+                   help="append results to a sqlite DB with the "
+                   "reference's Classification table schema "
+                   "(centrifuge_evaluate.py:180-230)")
+    p.add_argument("--read-base", default="", metavar="<str>")
+    p.add_argument("--read-type", default="single", metavar="<str>")
     p.add_argument("classification", metavar="<tsv>",
                    help="Centrifuge classification output ('-' for stdin)")
     return p
@@ -67,7 +73,13 @@ def run_evaluate(argv: List[str]) -> int:
     res = evaluate_classification(idx.taxonomy, rows, truth)
     print(f"reads\t{res.reads}")
     print(f"unclassified\t{res.unclassified}")
-    for name, sc in (("strain", res.strain), ("species", res.species),
-                     ("genus", res.genus)):
+    for name, sc in res.levels():
         print(f"{name}\t{sc.correct}/{sc.total}\t{sc.accuracy:.4f}")
+    if args.sql_db:
+        from ..evaluation.evaluate import log_result_sql
+        from .. import __version__
+        log_result_sql(args.sql_db, args.index, args.read_base,
+                       args.read_type, res, 0.0,
+                       cmd=" ".join(["centrifuge-evaluate"] + argv),
+                       version=__version__)
     return 0

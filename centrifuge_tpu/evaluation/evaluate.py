@@ -10,10 +10,13 @@ estimated and true abundance.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
-from ..index.taxonomy import RANK_GENUS, RANK_SPECIES, Taxonomy
+from ..index.taxonomy import (RANK_CLASS, RANK_FAMILY, RANK_GENUS,
+                              RANK_ORDER, RANK_PHYLUM, RANK_SPECIES,
+                              Taxonomy)
 
 
 def taxid_at_rank(tax: Taxonomy, tid: int, rank: int) -> int:
@@ -50,8 +53,18 @@ class EvalResult:
     strain: LevelScore = field(default_factory=LevelScore)
     species: LevelScore = field(default_factory=LevelScore)
     genus: LevelScore = field(default_factory=LevelScore)
+    family: LevelScore = field(default_factory=LevelScore)
+    order: LevelScore = field(default_factory=LevelScore)
+    clazz: LevelScore = field(default_factory=LevelScore)
+    phylum: LevelScore = field(default_factory=LevelScore)
     unclassified: int = 0
     reads: int = 0
+
+    def levels(self):
+        return [("strain", self.strain), ("species", self.species),
+                ("genus", self.genus), ("family", self.family),
+                ("order", self.order), ("class", self.clazz),
+                ("phylum", self.phylum)]
 
 
 def parse_truth(path: str) -> Dict[str, int]:
@@ -110,7 +123,11 @@ def evaluate_classification(tax: Taxonomy, classification_rows: List[str],
         if true_tid in tids:
             res.strain.correct += 1
         for rank, score in ((RANK_SPECIES, res.species),
-                            (RANK_GENUS, res.genus)):
+                            (RANK_GENUS, res.genus),
+                            (RANK_FAMILY, res.family),
+                            (RANK_ORDER, res.order),
+                            (RANK_CLASS, res.clazz),
+                            (RANK_PHYLUM, res.phylum)):
             want = taxid_at_rank(tax, true_tid, rank)
             if want == 0:
                 continue
@@ -128,3 +145,101 @@ def compare_abundance(estimated: Dict[int, float],
     for tid in set(estimated) | set(true_fracs):
         ssr += (estimated.get(tid, 0.0) - true_fracs.get(tid, 0.0)) ** 2
     return ssr
+
+
+# ---------------------------------------------------------------------------
+# sqlite result logging (the reference's create_sql_db / sql insert,
+# evaluation/centrifuge_evaluate.py:180-260): same Classification table
+# schema so existing analysis queries keep working.
+# ---------------------------------------------------------------------------
+
+_SQL_COLUMNS = (
+    "centrifutgeIndex", "readBase", "readType", "program", "version",
+    "numFragments",
+    "strain_classified", "strain_uniqueclassified", "strain_unclassified",
+    "species_classified", "species_uniqueclassified", "species_unclassified",
+    "genus_classified", "genus_uniqueclassified", "genus_unclassified",
+    "family_classified", "family_uniqueclassified", "family_unclassified",
+    "order_classified", "order_uniqueclassified", "order_unclassified",
+    "class_classified", "class_uniqueclassified", "class_unclassified",
+    "phylum_classified", "phylum_uniqueclassified", "phylum_unclassified",
+    "time", "host", "created", "cmd",
+)
+
+
+def create_sql_db(path: str) -> None:
+    """CREATE TABLE Classification with the reference's exact columns
+    (including its 'centrifutgeIndex' typo, kept for query compat)."""
+    import sqlite3
+    con = sqlite3.connect(path)
+    cols = ["id integer primary key autoincrement"]
+    for c in _SQL_COLUMNS:
+        if c == "numFragments" or c.endswith("classified"):
+            cols.append(f'"{c}" integer')
+        elif c == "time":
+            cols.append(f'"{c}" real')
+        else:
+            cols.append(f'"{c}" text')
+    con.execute("CREATE TABLE IF NOT EXISTS Classification (%s);"
+                % ", ".join(cols))
+    con.commit()
+    con.close()
+
+
+def log_result_sql(path: str, index_name: str, read_base: str,
+                   read_type: str, res: "EvalResult", elapsed: float,
+                   cmd: str, n_unique: Optional[Dict[str, int]] = None,
+                   program: str = "centrifuge-tpu",
+                   version: str = "") -> None:
+    """Insert one evaluation row (reference's sql_insert usage)."""
+    import socket
+    import sqlite3
+    import time as _time
+    create_sql_db(path)
+    vals: Dict[str, object] = {
+        "centrifutgeIndex": index_name,
+        "readBase": read_base,
+        "readType": read_type,
+        "program": program,
+        "version": version,
+        "numFragments": res.reads,
+        "time": elapsed,
+        "host": socket.gethostname(),
+        "created": _time.strftime("%F %T"),
+        "cmd": cmd,
+    }
+    for name, score in res.levels():
+        uniq = (n_unique or {}).get(name, score.correct)
+        vals[f"{name}_classified"] = score.correct
+        vals[f"{name}_uniqueclassified"] = uniq
+        vals[f"{name}_unclassified"] = res.reads - score.correct
+    con = sqlite3.connect(path)
+    names = ", ".join(f'"{c}"' for c in _SQL_COLUMNS)
+    q = ", ".join("?" for _ in _SQL_COLUMNS)
+    con.execute(f"INSERT INTO Classification ({names}) VALUES ({q});",
+                [vals[c] for c in _SQL_COLUMNS])
+    con.commit()
+    con.close()
+
+
+def simulate_reads_mason(fasta: str, out_prefix: str, num: int,
+                         read_length: int, seed: int = 0) -> Optional[str]:
+    """Mason-based read simulation when the mason binary is available
+    (evaluation/test/centrifuge_evaluate_mason.py uses mason; this
+    sandbox has no mason, so callers fall back to our simulator)."""
+    import shutil
+    import subprocess
+    mason = shutil.which("mason") or shutil.which("mason_simulator")
+    if mason is None:
+        return None
+    out = out_prefix + ".fq"
+    if os.path.basename(mason) == "mason":
+        cmd = [mason, "illumina", "-N", str(num), "-n", str(read_length),
+               "-s", str(seed), "-o", out, fasta]
+    else:
+        cmd = [mason, "-ir", fasta, "-n", str(num),
+               "--illumina-read-length", str(read_length),
+               "--seed", str(seed), "-o", out]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+

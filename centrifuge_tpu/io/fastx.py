@@ -145,13 +145,32 @@ def _read_fasta(f, first: bytes) -> Iterator[ReadRec]:
 
 def _read_fastq(f, first: bytes,
                 qconf: Optional[QualConfig] = None) -> Iterator[ReadRec]:
+    """4-line FASTQ records; blank lines between records are tolerated,
+    CR/LF both handled, and malformed records fail with the reference's
+    diagnostics (pat.cpp fastq parse errors) instead of silently
+    misparsing."""
     conv = qconf.convert if qconf is not None and qconf.active else None
     line = first
     while line:
+        if not line.strip():
+            line = f.readline()
+            continue
+        if not line.startswith(b"@"):
+            raise ValueError(
+                "Error: reads file does not look like a FASTQ file")
         name = line[1:].rstrip(b"\r\n")
         seq_line = f.readline().strip()
-        f.readline()  # +
+        plus = f.readline()
+        if not plus.startswith(b"+"):
+            raise ValueError(
+                "Error: expected '+' line in FASTQ record for read '%s'"
+                % name.decode(errors="replace"))
         qual_line = f.readline().strip()
+        if len(qual_line) != len(seq_line):
+            which = ("more" if len(qual_line) > len(seq_line) else "fewer")
+            raise ValueError(
+                "Error: Read '%s' has %s quality values than read "
+                "characters." % (name.decode(errors="replace"), which))
         seq = CODE_LUT[np.frombuffer(seq_line, np.uint8)]
         qual = bytes(qual_line) if conv is None else conv(bytes(qual_line))
         yield ReadRec(name, seq, qual)

@@ -573,3 +573,27 @@ def test_met_read_per_read_metrics(tmp_path):
     assert lines[0].startswith("time\tsecs\treadID")
     assert len(lines) == 3001  # header + one row per read
     assert lines[1].split("\t")[2] == "chim_0"
+
+
+def test_fastq_malformed_diagnostics(tmp_path):
+    """Malformed FASTQ fails with a clear diagnostic (pat.cpp-style)
+    instead of silently misparsing; blank lines between records are ok."""
+    fx = fixture_path("synth")
+    ok = tmp_path / "ok.fq"
+    ok.write_text("@r1\nACGTACGTACGTACGTACGTACGTA\n+\n"
+                  "IIIIIIIIIIIIIIIIIIIIIIIII\n\n"
+                  "@r2\nACGTACGTACGTACGTACGTACGTA\n+\n"
+                  "IIIIIIIIIIIIIIIIIIIIIIIII\n")
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-U", str(ok), "-S", str(tmp_path / "o.tsv"),
+                 "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    assert len((tmp_path / "o.tsv").read_text().splitlines()) == 3
+
+    bad = tmp_path / "bad.fq"
+    bad.write_text("@r1\nACGTACGT\n+\nIIII\n")   # short quals
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-U", str(bad), "-S", str(tmp_path / "o2.tsv"),
+                 "--report-file", ""])
+    assert r.returncode != 0
+    assert "quality values than read characters" in (r.stderr + r.stdout)

@@ -39,3 +39,29 @@ def test_compare_abundance():
     from centrifuge_tpu.evaluation.evaluate import compare_abundance
     ssr = compare_abundance({1: 0.5, 2: 0.5}, {1: 0.4, 2: 0.6})
     assert abs(ssr - 0.02) < 1e-12
+
+
+def test_sql_logging(tmp_path, synth_index):
+    """sqlite result logging with the reference's Classification table
+    schema (centrifuge_evaluate.py:180-230, incl. its column-name typo)."""
+    import sqlite3
+    from centrifuge_tpu.evaluation.evaluate import (EvalResult,
+                                                    log_result_sql)
+    res = EvalResult()
+    res.reads = 10
+    res.strain.correct = 7
+    res.species.correct = 9
+    db = tmp_path / "eval.db"
+    log_result_sql(str(db), "synth", "reads", "single", res, 1.5,
+                   cmd="test-cmd")
+    con = sqlite3.connect(str(db))
+    cols = [r[1] for r in con.execute("PRAGMA table_info(Classification)")]
+    assert "centrifutgeIndex" in cols      # reference's exact (typo'd) name
+    assert "phylum_unclassified" in cols
+    row = list(con.execute(
+        "SELECT strain_classified, species_classified, numFragments, cmd "
+        "FROM Classification"))[0]
+    assert row == (7, 9, 10, "test-cmd")
+    # second insert appends
+    log_result_sql(str(db), "synth", "reads", "single", res, 1.5, cmd="c2")
+    assert len(list(con.execute("SELECT id FROM Classification"))) == 2

@@ -55,22 +55,8 @@ print('resolver parity OK')
 
 # full pipeline byte parity (wide device arrays end to end)
 from centrifuge_tpu.classify.tpu_pipeline import TPUClassificationPipeline
-pipe = TPUClassificationPipeline.__new__(TPUClassificationPipeline)
-from centrifuge_tpu.classify.pipeline import (PipelineConfig,
-                                              ResultFormatter, SpeciesMetrics)
-from centrifuge_tpu.classify.algo import Classifier
-from centrifuge_tpu.utils.metrics import PerfMetrics
-pipe.idx = idx
-pipe.cfg = PipelineConfig()
-pipe.dfm = wide
-pipe.engine = BatchSearchEngine(wide, 22)
-pipe.resolver = make_resolver(wide)
-pipe.classifier = Classifier(idx, None, pipe.cfg.classifier)
-pipe.formatter = ResultFormatter(idx, pipe.cfg)
-pipe.spm = SpeciesMetrics()
-pipe.metrics = PerfMetrics()
-from centrifuge_tpu.native.engine import NativeAssigner
-pipe.native = NativeAssigner(idx, pipe.cfg.classifier, pipe.classifier)
+pipe = TPUClassificationPipeline(idx, wide=True)
+assert pipe.native is not None
 all_reads = read_batch([fx + '/reads.fq'], limit=500)
 rows_out = pipe.classify_batch_unpaired(all_reads)
 golden = open(fx + '/golden_output.tsv').read().splitlines()[1:]
