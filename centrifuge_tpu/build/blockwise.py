@@ -359,3 +359,24 @@ def write_index_blockwise(basename: str, codes: np.ndarray,
         w.feed(blk)
     bsa.close()
     w.finish(conversion_table, taxonomy_tree, name_table, size_table)
+
+
+def write_index_from_sa(basename: str, codes: np.ndarray, sa: np.ndarray,
+                        szs: List[RefRecord], refnames: List[str],
+                        plen: List[int], conversion_table: str,
+                        taxonomy_tree: str, name_table: str = "",
+                        size_table: str = "", offrate: int = 4,
+                        ftab_chars: int = 10, line_rate: int = 7,
+                        slice_rows: int = 1 << 26) -> None:
+    """Emit the index from an in-memory SA through the streaming writer.
+
+    The vectorized one-shot writer (writer.build_arrays) allocates
+    several SA-sized int64 temporaries -- ~5x 8 B/base on top of the SA
+    itself, which OOMs 125 GB hosts at ~2 Gbp. Feeding the SA in slices
+    keeps peak memory at codes + SA + O(slice)."""
+    w = StreamingIndexWriter(basename, codes, szs, refnames, plen,
+                             offrate, ftab_chars, line_rate)
+    n1 = sa.shape[0]
+    for lo in range(0, n1, slice_rows):
+        w.feed(sa[lo: lo + slice_rows])
+    w.finish(conversion_table, taxonomy_tree, name_table, size_table)

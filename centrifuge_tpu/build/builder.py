@@ -55,9 +55,18 @@ def build_index(fasta_paths: List[str], basename: str,
         if verbose:
             print(f"  suffix array built ({time.time()-t0:.1f}s)")
         t0 = time.time()
-        write_index(basename, codes, sa, szs, refnames, plen,
-                    conversion_table, taxonomy_tree, name_table, size_table,
-                    offrate, ftab_chars, line_rate)
+        if codes.shape[0] >= (1 << 28):
+            # the one-shot vectorized writer stacks several SA-sized
+            # temporaries; stream the SA through the incremental writer
+            from .blockwise import write_index_from_sa
+            write_index_from_sa(
+                basename, codes, sa, szs, refnames, plen,
+                conversion_table, taxonomy_tree, name_table, size_table,
+                offrate, ftab_chars, line_rate)
+        else:
+            write_index(basename, codes, sa, szs, refnames, plen,
+                        conversion_table, taxonomy_tree, name_table,
+                        size_table, offrate, ftab_chars, line_rate)
     except BaseException:
         # never leave a partial index behind (centrifuge_build.cpp:735-744)
         import os

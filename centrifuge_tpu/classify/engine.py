@@ -361,6 +361,9 @@ def batched_search_packed(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                                 kern.row_dtype, compact)
 
 
+PRESOLVE_ROWS_PER_MATE = 4   # compacted walk budget (mean need ~2-4)
+
+
 def _presolve_pick_rows(h_top, h_bot, h_len, khits: int, ihits: int,
                         min_hitlen: int, rk: int, idt):
     """Predict, per mate, which SA rows the classifier will resolve.
@@ -372,8 +375,9 @@ def _presolve_pick_rows(h_top, h_bot, h_len, khits: int, ihits: int,
     safe: the host consumes values through a row-keyed cache, so any
     mispredicted row is just a cache miss served by a fallback batch.
 
-    Returns rows (M, rk) in row dtype; unused slots hold 0 (row 0
-    resolves to a real value, so duplicates are harmless).
+    Returns (rows (M, rk) in row dtype, per-mate row counts (M,));
+    unused slots hold 0 (row 0 resolves to a real value, so duplicates
+    are harmless).
     """
     L, mh = h_top.shape
     M = L // 2
@@ -434,7 +438,9 @@ def _presolve_pick_rows(h_top, h_bot, h_len, khits: int, ihits: int,
     off = (slots - s3).astype(idt)
     rows = jnp.where(in_range, tops_f[:, None, :] + off, 0).sum(
         axis=2, dtype=idt)                                    # (M, rk)
-    return rows
+    nrows = jnp.minimum(jnp.cumsum(nelt_t, axis=1)[:, -1],
+                        rk).astype(jnp.int32)                 # per-mate count
+    return rows, nrows
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -461,9 +467,21 @@ def batched_search_presolve(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
         kern, rseq.astype(jnp.int32), lengths, start_cur, min_hitlen,
         increment, max_hits, first_hit_only=False)
     idt = kern.row_dtype
-    rows = _presolve_pick_rows(h_top, h_bot, h_len, khits, ihits,
-                               min_hitlen, rk, idt)
-    flat = rows.reshape(-1)
+    rows, nrows = _presolve_pick_rows(h_top, h_bot, h_len, khits, ihits,
+                                      min_hitlen, rk, idt)
+    # compact the per-mate row lists (mean occupancy ~2-4 of rk slots)
+    # into an R-row budget before the LF walk: the walk is the dominant
+    # presolve cost and is linear in row count. The monotone compaction
+    # is a searchsorted + gather (a scatter would serialize on TPU).
+    M = rows.shape[0]
+    R = PRESOLVE_ROWS_PER_MATE * M
+    doffs = jnp.cumsum(nrows) - nrows
+    j = jnp.arange(R, dtype=jnp.int32)
+    mate = jnp.searchsorted(doffs, j, side="right").astype(jnp.int32) - 1
+    slot = j - doffs[mate]
+    valid = slot < nrows[mate]
+    src = mate * rk + jnp.clip(slot, 0, rk - 1)
+    flat = jnp.where(valid, rows.reshape(-1)[src], 0)
     tidx = resolve_rows_core(
         fm_blocks, fm_fchr, offs, boundary_rows, boundary_refs, zoff,
         flat, sample_mask, offrate, has_bounds, narrow, max_steps)

@@ -91,6 +91,13 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--qc-filter", action="store_true",
                    help="Filter out reads that are bad according to the "
                    "QSEQ filter field")
+    p.add_argument("--n-ceil", default="L,2,0.1", metavar="<func>",
+                   help="Max number of Ns allowed as a function of read "
+                   "length: 'C,<c>' constant or 'L,<c>,<coef>' linear "
+                   "(default L,2,0.1; centrifuge.cpp:425)")
+    p.add_argument("--ignore-quals", action="store_true",
+                   help="Accepted for compatibility (qualities only "
+                   "feed vestigial scoring in the reference classifier)")
     p.add_argument("--phred33", action="store_true",
                    help="Qualities are Phred+33 (default)")
     p.add_argument("--phred64", "--solexa1.3-quals", dest="phred64",
@@ -152,6 +159,29 @@ def _split(arg: Optional[str]) -> List[str]:
 
 def _parse_taxids(arg: str) -> Tuple[int, ...]:
     return tuple(int(t) for t in arg.split(",") if t)
+
+
+def _parse_nceil(arg: str) -> Tuple[float, float]:
+    """SimpleFunc subset for --n-ceil (centrifuge.cpp:1323-1347):
+    'C,<c>' / 'L,<c>,<coef>' / '<c>' / '<c>,<coef>'."""
+    parts = [a for a in arg.split(",") if a != ""]
+    if not parts:
+        raise SystemExit(
+            "Error: expected at least one argument to --n-ceil option")
+    if parts[0].upper() in ("C", "L", "S", "G"):
+        kind = parts[0].upper()
+        vals = [float(v) for v in parts[1:]]
+        if kind == "C":
+            return (vals[0] if vals else 0.0), 0.0
+        if kind == "L":
+            return (vals[0] if vals else 0.0), (
+                vals[1] if len(vals) > 1 else 0.0)
+        raise SystemExit(
+            f"Error: unsupported --n-ceil function type {kind}")
+    vals = [float(v) for v in parts]
+    if len(vals) == 1:
+        return vals[0], 0.0
+    return vals[0], vals[1]
 
 
 def _trim(rec, trim5: int, trim3: int):
@@ -319,9 +349,11 @@ def run(argv: List[str]) -> int:
         host_taxids=_parse_taxids(args.host_taxids),
         exclude_taxids=_parse_taxids(args.exclude_taxids),
     )
+    n_const, n_coef = _parse_nceil(args.n_ceil)
     cfg = PipelineConfig(classifier=cls_cfg, seed=args.seed, columns=columns,
                          qc_filter=args.qc_filter,
-                         met_read=args.met_read or "")
+                         met_read=args.met_read or "",
+                         n_ceil_const=n_const, n_ceil_coef=n_coef)
     qconf = QualConfig(solexa=args.solexa_quals, phred64=args.phred64,
                        int_quals=args.int_quals)
 

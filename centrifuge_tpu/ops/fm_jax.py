@@ -90,7 +90,8 @@ class DeviceFMIndex:
     ftab_bot: jax.Array    # int32/int64[4^ftabChars]
     ftab_tb: jax.Array     # [4^ftabChars, 2] stacked (top, bot):
                            # one gather yields both range ends
-    offs: jax.Array        # int32[offsLen] SA-sample sequence indexes
+    offs: jax.Array        # int32[ceil(offsLen/8), 8] SA-sample seq
+                           # indexes packed 8/row (see _pack_offs8)
     boundary_rows: jax.Array    # row-dtype[nb] sorted
     boundary_refs: jax.Array    # int32[nb]
     zoff: int
@@ -159,7 +160,7 @@ class DeviceFMIndex:
             ftab_top=put(idx.ftab_top.astype(it)),
             ftab_bot=put(idx.ftab_bot.astype(it)),
             ftab_tb=put(ftab_tb),
-            offs=put(idx.offs.astype(np.int32)),
+            offs=put(_pack_offs8(idx.offs)),
             boundary_rows=put(idx.boundary_rows.astype(it)),
             boundary_refs=put(idx.boundary_refidx.astype(np.int32)),
             zoff=int(idx.zoff),
@@ -169,6 +170,17 @@ class DeviceFMIndex:
             npat=int(idx.npat),
             wide=wide,
         )
+
+
+def _pack_offs8(offs: np.ndarray) -> np.ndarray:
+    """SA-sample values padded + reshaped to (n/8, 8) so the resolver's
+    per-step sample lookup is a row gather + fused select instead of a
+    scalar gather (~5x cheaper per row on TPU)."""
+    n = offs.shape[0]
+    n8 = ((n + 7) // 8) * 8
+    out = np.zeros(n8, np.int32)
+    out[:n] = offs.astype(np.int32)
+    return out.reshape(-1, 8)
 
 
 def _count_c_in_word(word: jax.Array, pattern: jax.Array, nvalid: jax.Array) -> jax.Array:
@@ -343,7 +355,14 @@ def resolve_rows_core(blocks, fchr, offs, boundary_rows, boundary_refs,
     def try_offset(rows):
         tidx = jnp.full(rows.shape, -1, jnp.int32)
         sampled = (rows & sample_mask) == 0
-        sval = offs[jnp.clip(rows >> offrate, 0, offs.shape[0] - 1)]
+        si = jnp.clip(rows >> offrate, 0,
+                      offs.shape[0] * (offs.shape[1] if offs.ndim == 2
+                                       else 1) - 1)
+        if offs.ndim == 2:
+            srow = offs[si >> 3]                       # (B, 8) row gather
+            sval = _select_col(srow, (si & 7).astype(jnp.int32))
+        else:
+            sval = offs[si]
         tidx = jnp.where(sampled, sval, tidx)
         if has_bounds:
             pos = jnp.searchsorted(boundary_rows, rows)

@@ -597,3 +597,21 @@ def test_fastq_malformed_diagnostics(tmp_path):
                  "--report-file", ""])
     assert r.returncode != 0
     assert "quality values than read characters" in (r.stderr + r.stdout)
+
+
+@pytest.mark.parametrize("nceil,golden", [
+    ("L,0,0.02", "golden_nceil.tsv"),
+    ("C,3", "golden_nceil_c3.tsv"),
+])
+def test_n_ceil_parity(tmp_path, nceil, golden):
+    """--n-ceil C/L function forms drive the N filter
+    (centrifuge.cpp:1323-1347, scoring nCeil); reference goldens on
+    N-laden reads."""
+    fx = fixture_path("synth")
+    out = tmp_path / "o.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-U", os.path.join(fx, "reads_n.fq"),
+                 "--n-ceil", nceil,
+                 "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == open(os.path.join(fx, golden)).read()
