@@ -81,3 +81,27 @@ def test_synth_paired(synth_index, tmp_path):
     out = tmp_path / "report.tsv"
     write_report(str(out), synth_index, pipe.spm)
     assert out.read_text() == golden("synth", "golden_paired_report.tsv")
+
+
+def test_threaded_stream_parity(synth_index):
+    """threaded_stream=True (2-worker overlap stage) produces identical
+    rows to the default stream on CPU; it stays off by default because
+    the axon tunnel's compile path is not thread-safe (CLAUDE.md)."""
+    from centrifuge_tpu.classify.pipeline import PipelineConfig
+    from centrifuge_tpu.classify.tpu_pipeline import TPUClassificationPipeline
+    from centrifuge_tpu.io.fastx import read_batch
+    from conftest import fixture_path
+
+    reads = read_batch([fixture_path("synth", "reads.fq")], limit=512)
+    batches = [reads[i: i + 128] for i in range(0, len(reads), 128)]
+
+    base = TPUClassificationPipeline(synth_index)
+    want = [r for chunk in base.classify_stream_unpaired(iter(batches))
+            for r in chunk]
+
+    cfg = PipelineConfig(threaded_stream=True)
+    pipe = TPUClassificationPipeline(synth_index, cfg)
+    assert pipe.native is not None
+    got = [r for chunk in pipe.classify_stream_unpaired(iter(batches))
+           for r in chunk]
+    assert got == want
