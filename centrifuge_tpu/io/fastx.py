@@ -166,13 +166,15 @@ def _read_fastq(f, first: bytes,
                 "Error: expected '+' line in FASTQ record for read '%s'"
                 % name.decode(errors="replace"))
         qual_line = f.readline().strip()
-        if len(qual_line) != len(seq_line):
-            which = ("more" if len(qual_line) > len(seq_line) else "fewer")
+        seq = CODE_LUT[np.frombuffer(seq_line, np.uint8)]
+        qual = bytes(qual_line) if conv is None else conv(bytes(qual_line))
+        # length check AFTER conversion: --int-quals lines are
+        # space-separated integers, one per base
+        if len(qual) != len(seq_line):
+            which = ("more" if len(qual) > len(seq_line) else "fewer")
             raise ValueError(
                 "Error: Read '%s' has %s quality values than read "
                 "characters." % (name.decode(errors="replace"), which))
-        seq = CODE_LUT[np.frombuffer(seq_line, np.uint8)]
-        qual = bytes(qual_line) if conv is None else conv(bytes(qual_line))
         yield ReadRec(name, seq, qual)
         line = f.readline()
 
