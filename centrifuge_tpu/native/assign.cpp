@@ -22,6 +22,7 @@
 #include <algorithm>
 #include <array>
 #include <cstdint>
+#include <thread>
 #include <cstring>
 #include <unordered_map>
 #include <unordered_set>
@@ -122,6 +123,7 @@ struct Batch {
     // resolution
     std::vector<u64> req_top;
     std::vector<u64> req_nelt;
+    std::vector<u64> unit_vpos;           // per-unit offset into values
     std::vector<i32> values;              // flat, request order
 };
 
@@ -546,7 +548,10 @@ i64 batch_resolve_requests(void* bp, u64* out_tops, u64* out_nelts, i64 cap) {
     Ctx* ctx = b->ctx;
     b->req_top.clear();
     b->req_nelt.clear();
+    b->unit_vpos.assign(b->n_units, 0);
+    u64 vtotal = 0;
     for (i64 u = 0; u < b->n_units; u++) {
+        b->unit_vpos[u] = vtotal;
         u64 mghs = (u64)ctx->khits;
         for (int m = 0; m < b->n_mates[u]; m++) {
             MateStates& ms = b->finals[u * 2 + m];
@@ -566,6 +571,7 @@ i64 batch_resolve_requests(void* bp, u64* out_tops, u64* out_nelts, i64 cap) {
                     u64 nelt = std::min(h.size(), mghs);
                     b->req_top.push_back(h.top);
                     b->req_nelt.push_back(nelt);
+                    vtotal += nelt;
                     if ((i64)nelt > ctx->ihits) continue;
                     genome_hit_cnt += nelt;
                     if (genome_hit_cnt >= mghs) break;
@@ -587,19 +593,22 @@ void batch_set_resolutions(void* bp, const i32* values, i64 n) {
     b->values.assign(values, values + n);
 }
 
-// Full classification + per-unit selection. Outputs flat result records.
-i64 batch_finalize(void* bp,
-                   i32* res_unit, i64* res_score, i64* res_max_score,
-                   u64* res_tax_id, i32* res_tax_rank, i64* res_uid_idx,
-                   double* res_summed_len, u8* res_is_fw, u8* res_is_leaf,
-                   i32* res_npos, u32* res_pos /* cap*MAX_POS*2 */,
-                   i64* unit_secbest, i64 cap) {
-    Batch* b = (Batch*)bp;
-    Ctx* ctx = b->ctx;
-    i64 out_n = 0;
-    size_t vpos = 0;
+// Per-unit reportable record (collected per thread, merged in order).
+struct OutRec {
+    i32 unit;
+    i64 score, max_score, uid_idx;
+    u64 tax_id;
+    i32 tax_rank;
+    double summed_len;
+    u8 is_fw, leaf;
+    std::vector<std::pair<u32, u32>> pos;
+};
 
-    for (i64 u = 0; u < b->n_units; u++) {
+// The per-unit classification + selection body; appends to `out`.
+static void finalize_unit(Batch* b, Ctx* ctx, i64 u, i64* unit_secbest,
+                          std::vector<OutRec>& out) {
+    size_t vpos = b->unit_vpos[u];
+    {
         std::vector<HitCount> hit_map;
         u64 mghs = (u64)ctx->khits;
         i64 ts = 0;
@@ -758,29 +767,73 @@ i64 batch_finalize(void* bp,
                 }
                 unit_secbest[u] = have_sec ? secv : 0;
                 for (i64 sel : select) {
-                    if (out_n >= cap) return -1;  // caller buffer too small
                     Res& r = results[sel];
-                    res_unit[out_n] = (i32)u;
-                    res_score[out_n] = r.score;
-                    res_max_score[out_n] = max_score;
-                    res_tax_id[out_n] = r.tax_id;
-                    res_tax_rank[out_n] = r.tax_rank;
-                    res_uid_idx[out_n] = r.uid_idx;
-                    res_summed_len[out_n] = r.summed_len;
-                    res_is_fw[out_n] = is_fw ? 1 : 0;
-                    res_is_leaf[out_n] = r.leaf;
-                    i32 np = (i32)std::min((size_t)MAX_POS, r.pos.size());
-                    res_npos[out_n] = np;
-                    for (i32 p2 = 0; p2 < np; p2++) {
-                        res_pos[(out_n * MAX_POS + p2) * 2] = r.pos[p2].first;
-                        res_pos[(out_n * MAX_POS + p2) * 2 + 1] = r.pos[p2].second;
-                    }
-                    out_n++;
+                    OutRec o;
+                    o.unit = (i32)u;
+                    o.score = r.score;
+                    o.max_score = max_score;
+                    o.tax_id = r.tax_id;
+                    o.tax_rank = r.tax_rank;
+                    o.uid_idx = r.uid_idx;
+                    o.summed_len = r.summed_len;
+                    o.is_fw = is_fw ? 1 : 0;
+                    o.leaf = r.leaf;
+                    o.pos = r.pos;
+                    out.push_back(std::move(o));
                 }
-                continue;
+                return;
             }
         }
         unit_secbest[u] = 0;  // unclassified / no results
+    }
+}
+
+// Full classification + per-unit selection, threaded over unit ranges
+// (units are independent; values offsets precomputed per unit).
+i64 batch_finalize(void* bp,
+                   i32* res_unit, i64* res_score, i64* res_max_score,
+                   u64* res_tax_id, i32* res_tax_rank, i64* res_uid_idx,
+                   double* res_summed_len, u8* res_is_fw, u8* res_is_leaf,
+                   i32* res_npos, u32* res_pos /* cap*MAX_POS*2 */,
+                   i64* unit_secbest, i64 cap) {
+    Batch* b = (Batch*)bp;
+    Ctx* ctx = b->ctx;
+    int nt = (int)std::min<i64>(
+        std::max(1u, std::thread::hardware_concurrency()), 8);
+    if (b->n_units < 256) nt = 1;
+    std::vector<std::vector<OutRec>> outs(nt);
+    i64 chunk = (b->n_units + nt - 1) / nt;
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++) {
+        ths.emplace_back([&, t]() {
+            i64 lo = t * chunk, hi = std::min<i64>(b->n_units, lo + chunk);
+            for (i64 u = lo; u < hi; u++)
+                finalize_unit(b, ctx, u, unit_secbest, outs[t]);
+        });
+    }
+    for (auto& th : ths) th.join();
+
+    i64 out_n = 0;
+    for (auto& v : outs) {
+        for (auto& o : v) {
+            if (out_n >= cap) return -1;  // caller buffer too small
+            res_unit[out_n] = o.unit;
+            res_score[out_n] = o.score;
+            res_max_score[out_n] = o.max_score;
+            res_tax_id[out_n] = o.tax_id;
+            res_tax_rank[out_n] = o.tax_rank;
+            res_uid_idx[out_n] = o.uid_idx;
+            res_summed_len[out_n] = o.summed_len;
+            res_is_fw[out_n] = o.is_fw;
+            res_is_leaf[out_n] = o.leaf;
+            i32 np = (i32)std::min((size_t)MAX_POS, o.pos.size());
+            res_npos[out_n] = np;
+            for (i32 p2 = 0; p2 < np; p2++) {
+                res_pos[(out_n * MAX_POS + p2) * 2] = o.pos[p2].first;
+                res_pos[(out_n * MAX_POS + p2) * 2 + 1] = o.pos[p2].second;
+            }
+            out_n++;
+        }
     }
     return out_n;
 }
