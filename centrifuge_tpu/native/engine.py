@@ -189,10 +189,12 @@ class NativeAssigner:
             if nreq > 0:
                 rdt = np.int64 if getattr(resolver, "wide", False) \
                     else np.int32
-                rows = np.concatenate([
-                    np.arange(int(t), int(t) + int(ne), dtype=np.int64)
-                    for t, ne in zip(tops[:nreq], nelts[:nreq])]
-                ).astype(rdt)
+                ne = nelts[:nreq].astype(np.int64)
+                tp = tops[:nreq].astype(np.int64)
+                tot = int(ne.sum())
+                within = (np.arange(tot, dtype=np.int64)
+                          - np.repeat(np.cumsum(ne) - ne, ne))
+                rows = (np.repeat(tp, ne) + within).astype(rdt)
                 if metrics is not None:
                     metrics.resolve_rows += rows.shape[0]
                 miss = np.ones(rows.shape[0], dtype=bool)
