@@ -1,0 +1,114 @@
+"""Wide-path (>=2^31 bases) end-to-end benchmark + reference byte parity.
+
+Builds nothing itself: expects a wide-regime index (use
+``evaluation/bigdb.py`` with ``--bases`` >= 2.2e9 and the repo builder,
+or the reference ``centrifuge-build``) plus a FASTQ of reads.
+
+Measures median-of-3 e2e throughput through the TPU pipeline on the
+wide (64-bit occ) device layout, then byte-compares the TSV against the
+reference binary run with ``--reorder`` (the reference's multithreaded
+sink emits rows out of read order without it; content is identical, so
+the comparison must pin ordering — see centrifuge.cpp:2806-2814).
+
+Round-2 measured result (2.2 Gbp index, real TPU chip, axon tunnel):
+733 reads/s median, byte-identical to the reference binary
+(WIDEBENCH_r02.json at the repo root).
+
+Usage:
+    python -m centrifuge_tpu.evaluation.widebench <index_base> <reads.fq> \
+        [--ref-binary /path/to/centrifuge-class] [--out out.json]
+"""
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+BATCH = 8192
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("index_base")
+    ap.add_argument("reads")
+    ap.add_argument("--ref-binary", default=None,
+                    help="reference centrifuge-class for the parity leg")
+    ap.add_argument("--reads-count", type=int, default=2 * BATCH)
+    ap.add_argument("--out", default=None, help="write the JSON line here too")
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
+    from centrifuge_tpu.classify.tpu_pipeline import TPUClassificationPipeline
+    from centrifuge_tpu.index.cf_io import load_cf_index
+    from centrifuge_tpu.io.fastx import read_batch
+
+    t0 = time.time()
+    idx = load_cf_index(args.index_base)
+    print(f"index loaded: bwt_len={idx.bwt_len} ({time.time()-t0:.1f}s)",
+          flush=True)
+    assert idx.bwt_len >= (1 << 31), "not in the wide regime!"
+
+    reads = read_batch([args.reads])[:args.reads_count]
+    n_full = (len(reads) // BATCH) * BATCH
+    reads = reads[:n_full]
+    pipe = TPUClassificationPipeline(idx)
+    assert pipe.dfm.wide, "device index not on the wide path"
+    print("device arrays built", flush=True)
+
+    t0 = time.time()
+    for _ in pipe.classify_stream_unpaired([reads[:BATCH]]):
+        pass
+    print(f"warmup+compile: {time.time()-t0:.1f}s", flush=True)
+
+    runs = []
+    rows = []
+    for _ in range(3):
+        pipe2 = TPUClassificationPipeline(idx)
+        t0 = time.time()
+        rows = [pipe2.formatter.header()]
+        for chunk in pipe2.classify_stream_unpaired(
+                reads[i: i + BATCH] for i in range(0, len(reads), BATCH)):
+            rows += chunk
+        runs.append(len(reads) / (time.time() - t0))
+        print(f"run: {runs[-1]:.1f} reads/s", flush=True)
+    ours = "\n".join(rows) + "\n"
+
+    parity = None
+    ref_t = None
+    if args.ref_binary:
+        ref_out = args.index_base + ".refparity.tsv"
+        t0 = time.time()
+        # --reorder: the reference sink reorders rows across threads
+        # without it, so byte comparison needs order pinned to read order.
+        r = subprocess.run(
+            [args.ref_binary, "-x", args.index_base, "-U", args.reads,
+             "-u", str(len(reads)), "-p", "4", "--reorder", "-S", ref_out,
+             "--report-file", "/dev/null"],
+            capture_output=True, text=True)
+        ref_t = time.time() - t0
+        print(f"reference rc: {r.returncode} ({ref_t:.1f}s incl. index load)",
+              flush=True)
+        parity = open(ref_out).read() == ours
+
+    line = json.dumps({
+        "metric": "wide_reads_per_sec_e2e",
+        "value": round(statistics.median(runs), 1),
+        "unit": "reads/s",
+        "runs": [round(x, 1) for x in runs],
+        "reads": len(reads),
+        "bwt_len": int(idx.bwt_len),
+        "parity_vs_reference_binary": parity,
+        "ref_cpu_total_seconds": round(ref_t, 1) if ref_t else None,
+    })
+    print(line, flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
