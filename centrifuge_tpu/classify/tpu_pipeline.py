@@ -27,8 +27,8 @@ from ..utils.rng import LCG, gen_read_seed, gen_read_seeds_batch
 from .algo import (OFF_MASK, Classifier, PartialHit, StrandState,
                    extend_and_filter, select_results)
 from .engine import BatchSearchEngine
-from .pipeline import (PipelineConfig, ResultFormatter, SpeciesMetrics,
-                       n_filter, read_passes)
+from .pipeline import (DEFAULT_COLUMNS, PipelineConfig, ResultFormatter,
+                       SpeciesMetrics, n_filter, read_passes)
 
 
 def _states_from_arrays(h_top, h_bot, h_off, h_len, nhits, sums, lane,
@@ -105,6 +105,55 @@ class TPUClassificationPipeline:
                                              self.classifier)
             except Exception:
                 self.native = None
+
+    # ---- species metrics (native flat path keeps them in C++) ----
+
+    @property
+    def spm(self) -> SpeciesMetrics:
+        """The species-metrics accumulator. The native flat row path
+        accumulates in C++ (ctx spm state); reading the property drains
+        that state into the Python object first, so Python-path emits and
+        report writers always see the merged, up-to-date metrics."""
+        if getattr(self, "_spm_dirty", False):
+            self.native.spm_drain(self._spm)
+            self._spm_dirty = False
+        return self._spm
+
+    @spm.setter
+    def spm(self, value: SpeciesMetrics) -> None:
+        if getattr(self, "native", None) is not None:
+            self.native.spm_reset()
+        self._spm_dirty = False
+        self._spm = value
+
+    def _flat_eligible(self) -> bool:
+        """The all-native row path covers exactly the default-column
+        output with no per-read extras (kmer sketches, --met-read)."""
+        return (self.native is not None
+                and self.cfg.columns == DEFAULT_COLUMNS
+                and not self.cfg.count_kmers
+                and self.met_read is None)
+
+    def _tally_flat(self, passes, qlens, unit_nres) -> None:
+        m = self.metrics
+        n = len(qlens)
+        m.reads += n
+        m.bases += int(sum(qlens))
+        nclass = int(np.count_nonzero(unit_nres))
+        m.reads_classified += nclass
+        m.reads_unclassified += n - nclass
+        m.assignments += int(unit_nres.sum())
+        m.filtered += sum(1 for ok in passes if not ok)
+        m.batches += 1
+
+    def _flat_seed_spm(self) -> None:
+        # move pending Python-side state (cur_ids carry-over + per-taxon
+        # float partials) into the native accumulator so a path switch
+        # keeps both the aln_sink carry-over quirk and the float
+        # accumulation order bit-exact
+        if self._spm.cur_ids or self._spm.species_counts:
+            self.native.spm_seed(self._spm)
+        self._spm_dirty = True
 
     # ---- batched units ----
 
@@ -240,6 +289,19 @@ class TPUClassificationPipeline:
             arrays, prefetch = self.engine.search_collect(
                 handle, len(lane_seqs))
             seeds = gen_read_seeds_batch(recs, self.cfg.seed)
+            if self._flat_eligible():
+                # all-native tail: classification + selection + row
+                # formatting + species metrics in C++; no AlnResult
+                # objects and no per-read Python emit loop
+                self._flat_seed_spm()
+                qlens = [len(r.seq) for r in recs]
+                rows, unit_nres, secbest = self.native.process_rows(
+                    arrays, lane_map, lane_seqs, units,
+                    [False] * len(units), seeds, self.engine,
+                    self.resolver, [r.name for r in recs], qlens,
+                    self.metrics, prefetch=prefetch, round_sync=self.sync)
+                self._tally_flat(passes, qlens, unit_nres)
+                return rows
             per_unit, secbest = self.native.process(
                 arrays, lane_map, lane_seqs, units,
                 [False] * len(units), seeds, self.engine, self.resolver,
@@ -369,6 +431,18 @@ class TPUClassificationPipeline:
         arrays, prefetch = self.engine.search_collect(
             handle, len(lane_seqs))
         seeds = self._paired_seeds(pairs, passes)
+        if self._flat_eligible():
+            self._flat_seed_spm()
+            qlens = [len(r1.seq) + (len(r2.seq) if r2 is not None else 0)
+                     for r1, r2 in pairs]
+            rows, unit_nres, secbest = self.native.process_rows(
+                arrays, lane_map, lane_seqs, units, paired_flags, seeds,
+                self.engine, self.resolver, [r1.name for r1, _ in pairs],
+                qlens, self.metrics, prefetch=prefetch,
+                round_sync=self.sync)
+            self._tally_flat([p1 or p2 for p1, p2 in passes], qlens,
+                             unit_nres)
+            return rows
         per_unit, secbest = self.native.process(
             arrays, lane_map, lane_seqs, units, paired_flags, seeds,
             self.engine, self.resolver, self.metrics, prefetch=prefetch,

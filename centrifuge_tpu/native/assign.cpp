@@ -24,6 +24,7 @@
 #include <cstdint>
 #include <thread>
 #include <cstring>
+#include <map>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -51,6 +52,16 @@ struct PartialHit {
 
 struct TreeNode { u64 parent; u16 rank; u8 leaf; };
 
+// Species-metrics accumulator state (mirrors classify/pipeline.py
+// SpeciesMetrics / reference aln_sink.h:56-507, including the cur_ids
+// carry-over across reads). Lives in the Ctx so the flat row path can
+// update it without a Python round trip; drained via spm_export.
+struct SpmCounts {
+    i64 n_reads = 0, sum_score = 0;
+    double summed_hit_len = 0.0, weighted = 0.0;
+    i64 n_unique = 0;
+};
+
 struct Ctx {
     std::vector<u64> uid_tid;
     std::unordered_map<u64, std::array<u64, 10>> paths;
@@ -59,7 +70,35 @@ struct Ctx {
     i64 khits, min_hitlen, ihits, class_rank_slot;
     bool tree_traverse;
     i64 increment;
+    // string tables for native row formatting (ctx_set_strings)
+    std::vector<char> uid_blob;
+    std::vector<i64> uid_off;       // n_uids + 1
+    std::vector<char> rank_blob;
+    std::vector<i64> rank_off;      // n_ranks + 1
+    // species metrics (flat row path)
+    std::unordered_map<u64, SpmCounts> spm_counts;
+    std::map<std::vector<u64>, u64> spm_observed;
+    std::vector<u64> spm_cur;
 };
+
+static void spm_add(Ctx* c, u64 tid, i64 score, i64 max_score, double slen,
+                    i64 nres) {
+    SpmCounts& sc = c->spm_counts[tid];
+    sc.n_reads++;
+    sc.sum_score++;             // the reference adds 1 (aln_sink.h:151)
+    sc.weighted += 1.0 / (double)nres;
+    sc.summed_hit_len += slen;
+    if (nres == 1) sc.n_unique++;
+    if (score >= max_score) {
+        c->spm_cur.push_back(tid);
+        if ((i64)c->spm_cur.size() == nres) {
+            std::vector<u64> key = c->spm_cur;
+            std::sort(key.begin(), key.end());
+            c->spm_observed[key]++;
+            c->spm_cur.clear();
+        }
+    }
+}
 
 struct HitCount {
     u64 unique_id, tax_id;
@@ -836,6 +875,236 @@ i64 batch_finalize(void* bp,
         }
     }
     return out_n;
+}
+
+// ------------------------------------------------ native row formatting
+
+// String tables used by batch_finalize_rows: unique-id display names and
+// taxonomy-rank display strings (both concatenated blobs + offsets).
+void ctx_set_strings(void* cp, const char* uid_blob, const i64* uid_off,
+                     i64 n_uids, const char* rank_blob, const i64* rank_off,
+                     i64 n_ranks) {
+    Ctx* c = (Ctx*)cp;
+    c->uid_blob.assign(uid_blob, uid_blob + uid_off[n_uids]);
+    c->uid_off.assign(uid_off, uid_off + n_uids + 1);
+    c->rank_blob.assign(rank_blob, rank_blob + rank_off[n_ranks]);
+    c->rank_off.assign(rank_off, rank_off + n_ranks + 1);
+}
+
+// Pre-seed the cur_ids carry-over (when a Python-path read left ids
+// pending before the flat path takes over).
+void spm_seed_cur(void* cp, const u64* ids, i64 n) {
+    Ctx* c = (Ctx*)cp;
+    c->spm_cur.assign(ids, ids + n);
+}
+
+// Import existing per-taxon count partials so native accumulation
+// continues from them (keeps the float fields bit-exact when the emit
+// path switches from Python to native mid-stream).
+void spm_seed_counts(void* cp, const u64* tids, const i64* n_reads,
+                     const i64* sum_score, const double* shl,
+                     const double* weighted, const i64* n_unique, i64 n) {
+    Ctx* c = (Ctx*)cp;
+    for (i64 i = 0; i < n; i++) {
+        SpmCounts& sc = c->spm_counts[tids[i]];
+        sc.n_reads += n_reads[i];
+        sc.sum_score += sum_score[i];
+        sc.summed_hit_len += shl[i];
+        sc.weighted += weighted[i];
+        sc.n_unique += n_unique[i];
+    }
+}
+
+// sizes[0]=n_count_entries sizes[1]=n_observed sizes[2]=total observed
+// key ids, sizes[3]=len(cur_ids)
+void spm_sizes(void* cp, i64* sizes) {
+    Ctx* c = (Ctx*)cp;
+    sizes[0] = (i64)c->spm_counts.size();
+    sizes[1] = (i64)c->spm_observed.size();
+    i64 tot = 0;
+    for (auto& kv : c->spm_observed) tot += (i64)kv.first.size();
+    sizes[2] = tot;
+    sizes[3] = (i64)c->spm_cur.size();
+}
+
+// Drain the accumulated species metrics into flat arrays (sized via
+// spm_sizes) and reset the native state.
+void spm_export(void* cp, u64* tids, i64* n_reads, i64* sum_score,
+                double* shl, double* weighted, i64* n_unique,
+                i64* obs_klen, u64* obs_count, u64* obs_ids, u64* cur_ids) {
+    Ctx* c = (Ctx*)cp;
+    i64 i = 0;
+    for (auto& kv : c->spm_counts) {
+        tids[i] = kv.first;
+        n_reads[i] = kv.second.n_reads;
+        sum_score[i] = kv.second.sum_score;
+        shl[i] = kv.second.summed_hit_len;
+        weighted[i] = kv.second.weighted;
+        n_unique[i] = kv.second.n_unique;
+        i++;
+    }
+    i64 e = 0, idp = 0;
+    for (auto& kv : c->spm_observed) {
+        obs_klen[e] = (i64)kv.first.size();
+        obs_count[e] = kv.second;
+        for (u64 id : kv.first) obs_ids[idp++] = id;
+        e++;
+    }
+    for (size_t k = 0; k < c->spm_cur.size(); k++) cur_ids[k] = c->spm_cur[k];
+    c->spm_counts.clear();
+    c->spm_observed.clear();
+    c->spm_cur.clear();
+}
+
+void spm_reset(void* cp) {
+    Ctx* c = (Ctx*)cp;
+    c->spm_counts.clear();
+    c->spm_observed.clear();
+    c->spm_cur.clear();
+}
+
+static inline char* put_u64(char* p, u64 v) {
+    char tmp[20];
+    int n = 0;
+    do { tmp[n++] = (char)('0' + (v % 10)); v /= 10; } while (v);
+    while (n) *p++ = tmp[--n];
+    return p;
+}
+
+static inline char* put_i64(char* p, i64 v) {
+    if (v < 0) { *p++ = '-'; return put_u64(p, (u64)(-v)); }
+    return put_u64(p, (u64)v);
+}
+
+// taxIDs wider than 32 bits print as lo.hi (aln_sink.h:2236-2250)
+static inline char* put_tid(char* p, u64 tid) {
+    u64 lo = tid & 0xFFFFFFFFULL, hi = tid >> 32;
+    p = put_u64(p, lo);
+    if (hi > 0) { *p++ = '.'; p = put_u64(p, hi); }
+    return p;
+}
+
+// Classification + selection + DEFAULT-COLUMN row formatting in one call
+// (the hot path of _emit_rows_preselected + ResultFormatter fast paths).
+// Rows land '\n'-separated in out; per-row species-metric updates go into
+// the ctx spm state (drain with spm_export). Returns the total row count,
+// or -1 when out_cap / cap_rows is too small.
+//
+// names/name_off: concatenated raw read names per unit (n_units+1 offs);
+// qlen: the reported queryLength per unit (paired rows count filtered
+// mates too, so it cannot be derived from the dispatched lanes).
+i64 batch_finalize_rows(void* bp, const char* names, const i64* name_off,
+                        const i32* qlen, char* out, i64 out_cap,
+                        i64* unit_secbest, i32* unit_nres, i64* out_bytes) {
+    Batch* b = (Batch*)bp;
+    Ctx* ctx = b->ctx;
+    int nt = (int)std::min<i64>(
+        std::max(1u, std::thread::hardware_concurrency()), 8);
+    if (b->n_units < 256) nt = 1;
+    std::vector<std::vector<OutRec>> outs(nt);
+    i64 chunk = (b->n_units + nt - 1) / nt;
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++) {
+        ths.emplace_back([&, t]() {
+            i64 lo = t * chunk, hi = std::min<i64>(b->n_units, lo + chunk);
+            for (i64 u = lo; u < hi; u++)
+                finalize_unit(b, ctx, u, unit_secbest, outs[t]);
+        });
+    }
+    for (auto& th : ths) th.join();
+
+    // merged recs are unit-ascending (thread chunks are unit ranges and
+    // finalize_unit appends selected results in order)
+    char* p = out;
+    char* end = out + out_cap;
+    i64 total_rows = 0;
+    size_t ti = 0, ri = 0;  // thread bucket, index within
+    auto next_rec = [&]() -> OutRec* {
+        while (ti < outs.size()) {
+            if (ri < outs[ti].size()) return &outs[ti][ri];
+            ti++; ri = 0;
+        }
+        return nullptr;
+    };
+    for (i64 u = 0; u < b->n_units; u++) {
+        // stripped read id: drop a trailing /1,/2,/3 then stop at
+        // whitespace (aln_sink.h:2202-2217 / pipeline.format_read_id)
+        const char* nm = names + name_off[u];
+        i64 nl = name_off[u + 1] - name_off[u];
+        if (nl >= 2 && nm[nl - 2] == '/' &&
+            (nm[nl - 1] == '1' || nm[nl - 1] == '2' || nm[nl - 1] == '3'))
+            nl -= 2;
+        i64 ne = 0;
+        while (ne < nl) {
+            char ch = nm[ne];
+            if (ch == ' ' || ch == '\t' || ch == '\r' || ch == '\n' ||
+                ch == '\v' || ch == '\f')
+                break;
+            ne++;
+        }
+        // count this unit's selected results
+        size_t cti = ti, cri = ri;
+        i64 nres = 0;
+        while (cti < outs.size()) {
+            if (cri < outs[cti].size()) {
+                if (outs[cti][cri].unit != (i32)u) break;
+                nres++; cri++;
+            } else { cti++; cri = 0; }
+        }
+        unit_nres[u] = (i32)nres;
+        if (nres == 0) {
+            // rid\tunclassified\t0\t0\t0\t0\t{qlen}\t1
+            if (end - p < ne + 64) return -1;
+            std::memcpy(p, nm, ne); p += ne;
+            std::memcpy(p, "\tunclassified\t0\t0\t0\t0\t", 22); p += 22;
+            p = put_i64(p, qlen[u]);
+            *p++ = '\t'; *p++ = '1'; *p++ = '\n';
+            total_rows++;
+            spm_add(ctx, 0, 0, 0, 0.0, 1);
+            continue;
+        }
+        for (i64 k = 0; k < nres; k++) {
+            OutRec* o = next_rec();
+            ri++;
+            // seqID: uid name when the taxon is a leaf, else the rank
+            // string (ResultFormatter fast path)
+            const char* sid;
+            i64 sidn;
+            bool use_uid = o->leaf && o->uid_idx >= 0 &&
+                           (size_t)(o->uid_idx + 1) < ctx->uid_off.size();
+            if (use_uid) {
+                sid = ctx->uid_blob.data() + ctx->uid_off[o->uid_idx];
+                sidn = ctx->uid_off[o->uid_idx + 1] - ctx->uid_off[o->uid_idx];
+            } else {
+                i64 r = o->tax_rank;
+                if (r < 0 || r + 1 >= (i64)ctx->rank_off.size()) r = 0;
+                sid = ctx->rank_blob.data() + ctx->rank_off[r];
+                sidn = ctx->rank_off[r + 1] - ctx->rank_off[r];
+            }
+            if (end - p < ne + sidn + 160) return -1;
+            std::memcpy(p, nm, ne); p += ne;
+            *p++ = '\t';
+            std::memcpy(p, sid, sidn); p += sidn;
+            *p++ = '\t';
+            p = put_tid(p, o->tax_id);
+            *p++ = '\t';
+            p = put_i64(p, o->score);
+            *p++ = '\t';
+            p = put_i64(p, unit_secbest[u]);
+            *p++ = '\t';
+            p = put_i64(p, (i64)o->summed_len);
+            *p++ = '\t';
+            p = put_i64(p, qlen[u]);
+            *p++ = '\t';
+            p = put_i64(p, nres);
+            *p++ = '\n';
+            total_rows++;
+            spm_add(ctx, o->tax_id, o->score, o->max_score, o->summed_len,
+                    nres);
+        }
+    }
+    *out_bytes = p - out;
+    return total_rows;
 }
 
 }  // extern "C"

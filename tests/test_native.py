@@ -59,6 +59,64 @@ def test_native_host_exclude_taxids(synth_index, synth_reads):
         pp.classify_batch_unpaired(synth_reads[:400])
 
 
+class _NullMetWriter:
+    def emit(self, *a, **k):
+        pass
+
+    def close(self, *a, **k):
+        pass
+
+
+@pytest.mark.parametrize("k", [1, 5, 20])
+def test_flat_rows_match_preselected_path(synth_index, synth_reads, k):
+    """The all-native row path (process_rows: C++ formatting + species
+    metrics) must be byte-identical to the AlnResult/formatter path."""
+    pn, _ = _pipelines(synth_index, khits=k)
+    assert pn._flat_eligible()
+    rows_flat = pn.classify_batch_unpaired(synth_reads[:600])
+    po, _ = _pipelines(synth_index, khits=k)
+    po.met_read = _NullMetWriter()  # forces the AlnResult emit path
+    assert not po._flat_eligible()
+    rows_old = po.classify_batch_unpaired(synth_reads[:600])
+    assert rows_flat == rows_old
+    assert pn.spm.species_counts == po.spm.species_counts
+    assert pn.spm.observed == po.spm.observed
+    assert pn.spm.cur_ids == po.spm.cur_ids
+
+
+def test_flat_paired_rows_match(synth_index):
+    from centrifuge_tpu.io.fastx import read_batch
+    pairs = list(zip(read_batch([fixture_path("synth", "reads_1.fq")]),
+                     read_batch([fixture_path("synth", "reads_2.fq")])))
+    pn, _ = _pipelines(synth_index, khits=5)
+    rows_flat = pn.classify_batch_paired(pairs)
+    po, _ = _pipelines(synth_index, khits=5)
+    po.met_read = _NullMetWriter()
+    rows_old = po.classify_batch_paired(pairs)
+    assert rows_flat == rows_old
+    assert pn.spm.observed == po.spm.observed
+
+
+def test_flat_path_switch_carries_cur_ids(synth_index, synth_reads):
+    """Switching between the Python emit path and the native flat path
+    mid-stream must preserve the cur_ids carry-over quirk (the native
+    state is seeded on entry and drained on spm access)."""
+    k = 20  # multi-assignment workload: cur_ids stays non-empty between reads
+    pn, pp = _pipelines(synth_index, khits=k)
+    half = synth_reads[:300], synth_reads[300:600]
+    pn.met_read = _NullMetWriter()      # first half: AlnResult path
+    rows = pn.classify_batch_unpaired(half[0])
+    pn.met_read = None                  # second half: flat native path
+    assert pn._flat_eligible()
+    rows += pn.classify_batch_unpaired(half[1])
+    rows_ref = pp.classify_batch_unpaired(half[0])
+    rows_ref += pp.classify_batch_unpaired(half[1])
+    assert rows == rows_ref
+    assert pn.spm.species_counts == pp.spm.species_counts
+    assert pn.spm.observed == pp.spm.observed
+    assert pn.spm.cur_ids == pp.spm.cur_ids
+
+
 def test_native_no_traverse_and_rank(synth_index, synth_reads):
     pn, pp = _pipelines(synth_index, tree_traverse=False)
     assert pn.classify_batch_unpaired(synth_reads[:400]) == \
