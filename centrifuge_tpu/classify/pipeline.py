@@ -137,6 +137,51 @@ def read_passes(rec, cfg: "PipelineConfig") -> bool:
             and (not cfg.qc_filter or rec.filter != b"0"))
 
 
+def batch_read_passes(recs, cfg: "PipelineConfig") -> List[bool]:
+    """read_passes over a batch with one numpy pass (the per-read
+    count_nonzero calls cost ~8 us each; a batch of 8k reads paid ~60 ms
+    in filters alone)."""
+    n = len(recs)
+    if n == 0:
+        return []
+    lens = np.fromiter((len(r.seq) for r in recs), np.int64, n)
+    total = int(lens.sum())
+    if total:
+        flat = np.concatenate([r.seq for r in recs])
+        # segment sums via an inclusive prefix with a leading 0:
+        # counts[i] = cs[end_i] - cs[start_i]; robust to empty segments
+        cs = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(flat == 4, out=cs[1:])
+        ends = np.cumsum(lens)
+        counts = cs[ends] - cs[ends - lens]
+    else:
+        counts = np.zeros(n, dtype=np.int64)
+    maxns = np.minimum((cfg.n_ceil_const
+                        + cfg.n_ceil_coef * lens).astype(np.int64), lens)
+    ok = (counts <= maxns) & (lens >= cfg.min_read_len)
+    if cfg.qc_filter:
+        qc = np.fromiter((r.filter != b"0" for r in recs), np.bool_, n)
+        ok &= qc
+    return ok.tolist()
+
+
+def batch_revcomp(recs) -> List[np.ndarray]:
+    """Reverse complements for a batch of ReadRecs as zero-copy views of
+    one complemented flat buffer (one table lookup instead of 8k)."""
+    from ..io.fastx import COMP
+    if not recs:
+        return []
+    lens = [len(r.seq) for r in recs]
+    flat = COMP[np.concatenate([r.seq for r in recs])] if sum(lens) \
+        else np.zeros(0, np.uint8)
+    out = []
+    off = 0
+    for ln in lens:
+        out.append(flat[off:off + ln][::-1])
+        off += ln
+    return out
+
+
 # column name -> field kind, mirroring col_name_map (centrifuge.cpp:483-518)
 _COLUMN_FIELD = {
     "readID": "READ_ID", "seqID": "SEQ_ID",

@@ -28,7 +28,8 @@ from .algo import (OFF_MASK, Classifier, PartialHit, StrandState,
                    extend_and_filter, select_results)
 from .engine import BatchSearchEngine
 from .pipeline import (DEFAULT_COLUMNS, PipelineConfig, ResultFormatter,
-                       SpeciesMetrics, n_filter, read_passes)
+                       SpeciesMetrics, batch_read_passes, batch_revcomp,
+                       n_filter, read_passes)
 
 
 def _states_from_arrays(h_top, h_bot, h_off, h_len, nhits, sums, lane,
@@ -157,6 +158,11 @@ class TPUClassificationPipeline:
 
     # ---- batched units ----
 
+    def _prep_unpaired(self, recs):
+        """[[(seq, revcomp)]] per read with ONE batched complement."""
+        rcs = batch_revcomp(recs)
+        return [[(r.seq, rc)] for r, rc in zip(recs, rcs)]
+
     def _emit_rows(self, recs, passes, results) -> List[str]:
         rows: List[str] = []
         m = self.metrics
@@ -185,8 +191,8 @@ class TPUClassificationPipeline:
         return rows
 
     def classify_batch_unpaired(self, recs: Sequence[ReadRec]) -> List[str]:
-        units = [[(r.seq, r.revcomp())] for r in recs]
-        passes = [read_passes(r, self.cfg) for r in recs]
+        units = self._prep_unpaired(recs)
+        passes = batch_read_passes(recs, self.cfg)
         if self.native is not None:
             fut = self._dispatch_units(units, passes)
             return self._finish_batch(recs, passes, units, fut)
@@ -210,8 +216,8 @@ class TPUClassificationPipeline:
         from collections import deque
         pending = deque()  # (recs, passes, units, device_future)
         for recs in batches:
-            units = [[(r.seq, r.revcomp())] for r in recs]
-            passes = [read_passes(r, self.cfg) for r in recs]
+            units = self._prep_unpaired(recs)
+            passes = batch_read_passes(recs, self.cfg)
             fut = self._dispatch_units(units, passes)
             pending.append((recs, passes, units, fut))
             # keep 2 batches in flight: upload/compute/download of batch
@@ -251,8 +257,8 @@ class TPUClassificationPipeline:
                                                    secbest)
 
             for recs in batches:
-                units = [[(r.seq, r.revcomp())] for r in recs]
-                passes = [read_passes(r, self.cfg) for r in recs]
+                units = self._prep_unpaired(recs)
+                passes = batch_read_passes(recs, self.cfg)
                 fut = self._dispatch_units(units, passes)
                 q.append((recs, passes,
                           ex.submit(work, recs, units, passes, fut)))
@@ -362,18 +368,30 @@ class TPUClassificationPipeline:
         units = []
         passes = []
         paired_flags = []
-        for r1, r2 in pairs:
-            p1 = read_passes(r1, self.cfg)
-            p2 = r2 is not None and read_passes(r2, self.cfg)
+        m1 = [r1 for r1, _ in pairs]
+        m2 = [r2 for _, r2 in pairs if r2 is not None]
+        pass1 = batch_read_passes(m1, self.cfg)
+        rc1 = batch_revcomp(m1)
+        pass2_it = iter(batch_read_passes(m2, self.cfg))
+        rc2_it = iter(batch_revcomp(m2))
+        for i, (r1, r2) in enumerate(pairs):
+            p1 = pass1[i]
+            c1 = rc1[i]
+            if r2 is not None:
+                p2 = next(pass2_it)
+                c2 = next(rc2_it)
+            else:
+                p2 = False
+                c2 = None
             passes.append((p1, p2))
             if p1 and p2:
-                units.append([(r1.seq, r1.revcomp()), (r2.seq, r2.revcomp())])
+                units.append([(r1.seq, c1), (r2.seq, c2)])
                 paired_flags.append(True)
             elif p1:
-                units.append([(r1.seq, r1.revcomp())])
+                units.append([(r1.seq, c1)])
                 paired_flags.append(False)
             elif p2:
-                units.append([(r2.seq, r2.revcomp())])
+                units.append([(r2.seq, c2)])
                 paired_flags.append(False)
             else:
                 units.append([])

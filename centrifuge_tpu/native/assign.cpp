@@ -963,6 +963,44 @@ void spm_reset(void* cp) {
     c->spm_cur.clear();
 }
 
+// Per-read tie-break seed hash (pat.h:55-91): XOR-fold of seq codes
+// (shift (i&15)*2), qual bytes (shift (i&3)*8) and the read name up to
+// the first '/' (shift (i&3)*8), folded in 64-bit then truncated -- a
+// seq code shifted past bit 31 drops out exactly as the oracle's
+// int64-then-mask does. `base` is the config-seed-derived constant.
+void gen_seeds(const u8* seqs, const i64* seq_off,
+               const u8* quals, const i64* qual_off,
+               const u8* names, const i64* name_off,
+               i64 n, u64 base, u32* out) {
+    int nth = (int)std::min<u64>(
+        std::max(1u, std::thread::hardware_concurrency()), 8);
+    i64 chunk = (n + nth - 1) / nth;
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nth; t++) {
+        i64 lo = t * chunk, hi = std::min(n, lo + chunk);
+        if (lo >= hi) break;
+        ths.emplace_back([=]() {
+            for (i64 r = lo; r < hi; r++) {
+                u64 acc = base;
+                const u8* s = seqs + seq_off[r];
+                i64 sl = seq_off[r + 1] - seq_off[r];
+                for (i64 i = 0; i < sl; i++)
+                    acc ^= (u64)s[i] << (((u64)i & 15) << 1);
+                const u8* q = quals + qual_off[r];
+                i64 ql = qual_off[r + 1] - qual_off[r];
+                for (i64 i = 0; i < ql; i++)
+                    acc ^= (u64)q[i] << (((u64)i & 3) << 3);
+                const u8* nm = names + name_off[r];
+                i64 nl = name_off[r + 1] - name_off[r];
+                for (i64 i = 0; i < nl && nm[i] != '/'; i++)
+                    acc ^= (u64)nm[i] << (((u64)i & 3) << 3);
+                out[r] = (u32)acc;
+            }
+        });
+    }
+    for (auto& th : ths) th.join();
+}
+
 static inline char* put_u64(char* p, u64 v) {
     char tmp[20];
     int n = 0;

@@ -76,6 +76,9 @@ def load_native():
         lib.batch_finalize_rows.restype = C.c_int64
         lib.batch_finalize_rows.argtypes = [
             C.c_void_p, u8p, i64p, i32p, u8p, C.c_int64, i64p, i32p, i64p]
+        lib.gen_seeds.argtypes = [
+            u8p, i64p, u8p, i64p, u8p, i64p,
+            C.c_int64, C.c_uint64, u32p]
         _LIB = lib
     except Exception:
         _LIB_FAILED = True
