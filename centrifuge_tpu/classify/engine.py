@@ -101,6 +101,16 @@ def _pack_read_table(rseq: jax.Array, ftab_chars: int):
     return val.reshape(L * (Pw // 8), 8), Pw // 8
 
 
+def _unpack_rseq(packed):
+    """Inverse of the host's 2-bases-per-byte transport packing: uint8
+    (L, P/2) -> int32 (L, P). The read matrix crosses the host->device
+    tunnel every batch (~4 MB at 16k lanes x 256 cols); halving its bytes
+    is worth the two cheap device ops."""
+    lo = (packed & 15).astype(jnp.int32)
+    hi = (packed >> 4).astype(jnp.int32)
+    return jnp.stack([lo, hi], axis=2).reshape(packed.shape[0], -1)
+
+
 def search_loop(kern: FMKernels, rseq, lengths, start_cur,
                 min_hitlen: int, increment: int, max_hits: int,
                 first_hit_only: bool, unroll: int = 8):
@@ -299,14 +309,16 @@ def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
 
 @functools.partial(jax.jit, static_argnames=("min_hitlen", "increment",
                                              "max_hits", "first_hit_only",
-                                             "nblk"))
+                                             "nblk", "packed_input"))
 def batched_search(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                    rseq, lengths, start_cur,
                    min_hitlen: int, increment: int, max_hits: int,
-                   first_hit_only: bool, nblk: int = None):
+                   first_hit_only: bool, nblk: int = None,
+                   packed_input: bool = False):
     """Single-chip full scan over all lanes (see search_loop)."""
     kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk)
-    return search_loop(kern, rseq.astype(jnp.int32), lengths, start_cur,
+    rs = _unpack_rseq(rseq) if packed_input else rseq.astype(jnp.int32)
+    return search_loop(kern, rs, lengths, start_cur,
                        min_hitlen, increment, max_hits, first_hit_only)
 
 
@@ -344,18 +356,21 @@ def _unpack_search_outputs(packed: np.ndarray, mh: int, compact: bool):
 
 @functools.partial(jax.jit, static_argnames=("min_hitlen", "increment",
                                              "max_hits", "first_hit_only",
-                                             "nblk", "compact"))
+                                             "nblk", "compact",
+                                             "packed_input"))
 def batched_search_packed(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                           rseq, lengths, start_cur,
                           min_hitlen: int, increment: int, max_hits: int,
                           first_hit_only: bool, nblk: int = None,
-                          compact: bool = False):
+                          compact: bool = False,
+                          packed_input: bool = False):
     """As batched_search, but packs all outputs into ONE array on device
     (see _pack_search_outputs). A single small device->host transfer
     matters when the device sits behind a network tunnel."""
     kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk)
+    rs = _unpack_rseq(rseq) if packed_input else rseq.astype(jnp.int32)
     h_top, h_bot, h_off, h_len, nhits, sums = search_loop(
-        kern, rseq.astype(jnp.int32), lengths, start_cur, min_hitlen,
+        kern, rs, lengths, start_cur, min_hitlen,
         increment, max_hits, first_hit_only)
     return _pack_search_outputs(h_top, h_bot, h_off, h_len, nhits, sums,
                                 kern.row_dtype, compact)
@@ -446,7 +461,7 @@ def _presolve_pick_rows(h_top, h_bot, h_len, khits: int, ihits: int,
 @functools.partial(jax.jit, static_argnames=(
     "min_hitlen", "increment", "max_hits", "nblk", "khits", "ihits", "rk",
     "sample_mask", "offrate", "has_bounds", "narrow", "max_steps",
-    "compact"))
+    "compact", "packed_input"))
 def batched_search_presolve(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                             offs, boundary_rows, boundary_refs,
                             rseq, lengths, start_cur,
@@ -454,7 +469,8 @@ def batched_search_presolve(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                             nblk: int, khits: int, ihits: int, rk: int,
                             sample_mask: int, offrate: int,
                             has_bounds: bool, narrow: bool, max_steps: int,
-                            compact: bool = False):
+                            compact: bool = False,
+                            packed_input: bool = False):
     """Search + speculative SA resolution in ONE dispatch.
 
     Besides the packed hit buffers, returns the predicted rows and their
@@ -463,8 +479,9 @@ def batched_search_presolve(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
     each dispatch has ~50 ms latency on a tunneled device)."""
     from ..ops.fm_jax import resolve_rows_core
     kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk)
+    rs = _unpack_rseq(rseq) if packed_input else rseq.astype(jnp.int32)
     h_top, h_bot, h_off, h_len, nhits, sums = search_loop(
-        kern, rseq.astype(jnp.int32), lengths, start_cur, min_hitlen,
+        kern, rs, lengths, start_cur, min_hitlen,
         increment, max_hits, first_hit_only=False)
     idt = kern.row_dtype
     rows, nrows = _presolve_pick_rows(h_top, h_bot, h_len, khits, ihits,
@@ -560,16 +577,23 @@ class BatchSearchEngine:
         # 16-bit fields and int32 rows (narrow path)
         return (not self.fm.wide) and lmax < 16384
 
+    @staticmethod
+    def transport(rseq: np.ndarray) -> np.ndarray:
+        """2 base codes per byte for the host->device upload (codes are
+        0-4, so 4 bits each); the jitted entry unpacks (_unpack_rseq)."""
+        return (((rseq[:, 0::2].astype(np.uint8)) & 15)
+                | (rseq[:, 1::2].astype(np.uint8) << 4))
+
     def _run(self, rseq, lengths, start, max_hits, first_hit_only):
         compact = self._compact_ok(rseq.shape[1])
         packed = np.asarray(batched_search_packed(
             self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
             jnp.asarray(self.fm.zoff, self.fm.row_dtype),
-            jnp.asarray(rseq), jnp.asarray(lengths),
+            jnp.asarray(self.transport(rseq)), jnp.asarray(lengths),
             jnp.asarray(start), min_hitlen=self.min_hitlen,
             increment=self.increment, max_hits=max_hits,
             first_hit_only=first_hit_only, nblk=self.fm.nblk,
-            compact=compact))
+            compact=compact, packed_input=True))
         return _unpack_search_outputs(packed, max_hits, compact)
 
     def search_async(self, seqs: List[np.ndarray], presolve: bool = False,
@@ -597,22 +621,24 @@ class BatchSearchEngine:
             rk = 16 if khits <= 5 else min(128, 4 * khits)
             out = batched_search_presolve(
                 *common, fm.offs, fm.boundary_rows, fm.boundary_refs,
-                jnp.asarray(rseq), jnp.asarray(lengths), jnp.asarray(start),
+                jnp.asarray(self.transport(rseq)), jnp.asarray(lengths),
+                jnp.asarray(start),
                 min_hitlen=self.min_hitlen, increment=self.increment,
                 max_hits=mh, nblk=fm.nblk, khits=khits, ihits=ihits, rk=rk,
                 sample_mask=(1 << fm.offrate) - 1, offrate=fm.offrate,
                 has_bounds=fm.boundary_rows.shape[0] > 0,
-                narrow=fm.npat <= 0xFFFF, max_steps=4096, compact=compact)
+                narrow=fm.npat <= 0xFFFF, max_steps=4096, compact=compact,
+                packed_input=True)
             packed, prows, ptidx = out
             _start_host_copy(packed, prows, ptidx)
             return (packed, rseq, lengths, mh, lmax, nlanes, compact,
                     (prows, ptidx))
         packed = batched_search_packed(
             *common,
-            jnp.asarray(rseq), jnp.asarray(lengths),
+            jnp.asarray(self.transport(rseq)), jnp.asarray(lengths),
             jnp.asarray(start), min_hitlen=self.min_hitlen,
             increment=self.increment, max_hits=mh, first_hit_only=False,
-            nblk=self.fm.nblk, compact=compact)
+            nblk=self.fm.nblk, compact=compact, packed_input=True)
         _start_host_copy(packed)
         return (packed, rseq, lengths, mh, lmax, nlanes, compact, None)
 

@@ -214,15 +214,18 @@ class TPUClassificationPipeline:
             yield from self._classify_stream_threaded(batches)
             return
         from collections import deque
-        pending = deque()  # (recs, passes, units, device_future)
+        pending = deque()  # (recs, passes, units, device_future, seeds)
         for recs in batches:
             units = self._prep_unpaired(recs)
             passes = batch_read_passes(recs, self.cfg)
             fut = self._dispatch_units(units, passes)
-            pending.append((recs, passes, units, fut))
-            # keep 2 batches in flight: upload/compute/download of batch
-            # N+1/N+2 overlap with host assignment work on batch N
-            if len(pending) > 2:
+            # seeds depend only on inputs: hash them now so the work
+            # overlaps the device instead of sitting after the collect
+            seeds = gen_read_seeds_batch(recs, self.cfg.seed)
+            pending.append((recs, passes, units, fut, seeds))
+            # keep 3 batches in flight: upload/compute/download of later
+            # batches overlap host assignment work on batch N
+            if len(pending) > 3:
                 yield self._finish_batch(*pending.popleft())
         while pending:
             yield self._finish_batch(*pending.popleft())
@@ -289,12 +292,14 @@ class TPUClassificationPipeline:
         self.metrics.device_dispatches += 1
         return lane_seqs, lane_map, handle
 
-    def _finish_batch(self, recs, passes, units, fut) -> List[str]:
+    def _finish_batch(self, recs, passes, units, fut,
+                      seeds=None) -> List[str]:
         lane_seqs, lane_map, handle = fut
         if self.native is not None and lane_seqs:
             arrays, prefetch = self.engine.search_collect(
                 handle, len(lane_seqs))
-            seeds = gen_read_seeds_batch(recs, self.cfg.seed)
+            if seeds is None:
+                seeds = gen_read_seeds_batch(recs, self.cfg.seed)
             if self._flat_eligible():
                 # all-native tail: classification + selection + row
                 # formatting + species metrics in C++; no AlnResult
@@ -358,8 +363,9 @@ class TPUClassificationPipeline:
         for pairs in batches:
             prep = self._prep_paired(pairs)
             fut = self._dispatch_units(prep[0], prep[2])
-            pending.append((pairs, prep, fut))
-            if len(pending) > 2:
+            seeds = self._paired_seeds(pairs, prep[1])
+            pending.append((pairs, prep, fut, seeds))
+            if len(pending) > 3:
                 yield self._finish_paired(*pending.popleft())
         while pending:
             yield self._finish_paired(*pending.popleft())
@@ -404,13 +410,18 @@ class TPUClassificationPipeline:
         seed is always the base (even when only mate 2 passed the
         filters), xor'd with mate 2's when both pass
         (pipeline.py classify_paired / centrifuge.cpp:2503)."""
-        seeds = np.zeros(len(pairs), dtype=np.uint32)
+        n = len(pairs)
+        s1 = gen_read_seeds_batch([r1 for r1, _ in pairs], self.cfg.seed)
+        m2 = [r2 for _, r2 in pairs if r2 is not None]
+        s2_it = iter(gen_read_seeds_batch(m2, self.cfg.seed))
+        seeds = np.zeros(n, dtype=np.uint32)
         for ui, ((r1, r2), (p1, p2)) in enumerate(zip(pairs, passes)):
+            s2 = next(s2_it) if r2 is not None else 0
             if not (p1 or p2):
                 continue
-            s = gen_read_seed(r1.seq, r1.qual, r1.name, self.cfg.seed)
+            s = s1[ui]
             if p1 and p2:
-                s ^= gen_read_seed(r2.seq, r2.qual, r2.name, self.cfg.seed)
+                s = s ^ s2
             seeds[ui] = s
         return seeds
 
@@ -440,7 +451,7 @@ class TPUClassificationPipeline:
         m.batches += 1
         return rows
 
-    def _finish_paired(self, pairs, prep, fut) -> List[str]:
+    def _finish_paired(self, pairs, prep, fut, seeds=None) -> List[str]:
         units, passes, active, paired_flags = prep
         lane_seqs, lane_map, handle = fut
         if not lane_seqs:
@@ -448,7 +459,8 @@ class TPUClassificationPipeline:
                 pairs, passes, [[] for _ in pairs], [0] * len(pairs))
         arrays, prefetch = self.engine.search_collect(
             handle, len(lane_seqs))
-        seeds = self._paired_seeds(pairs, passes)
+        if seeds is None:
+            seeds = self._paired_seeds(pairs, passes)
         if self._flat_eligible():
             self._flat_seed_spm()
             qlens = [len(r1.seq) + (len(r2.seq) if r2 is not None else 0)
