@@ -143,6 +143,41 @@ struct Ctx {
     }
 };
 
+// Parallel merge sort: thread-sorted chunks + log2(nt) rounds of
+// threaded inplace_merge. Comparator-deterministic: the final order is
+// a total function of cmp (ties only ever share group ranks upstream),
+// so thread count cannot change any build output.
+template <class Cmp>
+void psort(i64* data, i64 n, Cmp cmp, int nthreads) {
+    i64 nt = 1;
+    while (nt * 2 <= nthreads && (n / (nt * 2)) > (1 << 14)) nt <<= 1;
+    if (nt <= 1) {
+        std::sort(data, data + n, cmp);
+        return;
+    }
+    std::vector<i64> bounds(nt + 1);
+    for (i64 t = 0; t <= nt; t++) bounds[t] = n * t / nt;
+    {
+        std::vector<std::thread> ths;
+        for (i64 t = 0; t < nt; t++)
+            ths.emplace_back([&, t]() {
+                std::sort(data + bounds[t], data + bounds[t + 1], cmp);
+            });
+        for (auto& th : ths) th.join();
+    }
+    for (i64 w = 1; w < nt; w <<= 1) {
+        std::vector<std::thread> ths;
+        for (i64 t = 0; t + w < nt; t += 2 * w) {
+            ths.emplace_back([&, t, w]() {
+                std::inplace_merge(data + bounds[t], data + bounds[t + w],
+                                   data + bounds[std::min(t + 2 * w, nt)],
+                                   cmp);
+            });
+        }
+        for (auto& th : ths) th.join();
+    }
+}
+
 void build_cover(Ctx& c) {
     i64 v = c.v;
     i64 r = 1;
@@ -203,17 +238,35 @@ void build_sample_ranks(Ctx& c) {
     std::vector<i64> order(pos);
     // initial sort by first v chars (strict order on mismatch/end; ties
     // only when the first v chars agree entirely)
-    std::sort(order.begin(), order.end(), [&](i64 a, i64 b) {
+    psort(order.data(), (i64)order.size(), [&](i64 a, i64 b) {
         int r = c.compare_chars(a, b, v);
         if (r != 0) return r < 0;
         return a < b;  // stable-ish; real ties resolved by doubling
-    });
+    }, c.nthreads);
     std::vector<u32> rk(m_slots, 0xFFFFFFFFu);
-    // group ranks: equal first-v-chars share a rank
+    // group ranks: equal first-v-chars share a rank. The neighbor
+    // compares are v-char-deep, so compute the diff flags threaded and
+    // scan the cheap flags sequentially.
+    std::vector<u8> diffflag(order.size(), 0);
+    {
+        int nt = std::max(1, c.nthreads);
+        std::vector<std::thread> ths;
+        i64 m2 = (i64)order.size();
+        i64 chunk2 = (m2 + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            ths.emplace_back([&, t]() {
+                i64 lo = std::max<i64>(1, t * chunk2);
+                i64 hi = std::min(m2, (t + 1) * chunk2);
+                for (i64 i = lo; i < hi; i++)
+                    diffflag[i] =
+                        c.compare_chars(order[i - 1], order[i], v) != 0;
+            });
+        }
+        for (auto& th : ths) th.join();
+    }
     u32 rcur = 0;
     for (size_t i = 0; i < order.size(); i++) {
-        if (i > 0 && c.compare_chars(order[i - 1], order[i], v) != 0)
-            rcur = (u32)i;
+        if (i > 0 && diffflag[i]) rcur = (u32)i;
         rk[c.sample_index(order[i])] = rcur;
     }
     // prefix doubling with step v
@@ -228,7 +281,7 @@ void build_sample_ranks(Ctx& c) {
             if (ra != rb) return ra < rb;
             return key2(a) < key2(b);
         };
-        std::sort(order.begin(), order.end(), cmp);
+        psort(order.data(), (i64)order.size(), cmp, c.nthreads);
         bool all_unique = true;
         u32 r2 = 0;
         rk2[c.sample_index(order[0])] = 0;
@@ -324,11 +377,31 @@ i64 bsa_block(void* ctx, i64 b, i64* out, i64 cap) {
     i64 want = c->bucket_cnt[b] + (last ? 1 : 0);
     if (want > cap) return -1;
     i64 k = 0;
-    for (i64 p = 0; p < c->n; p++)
-        if (c->bucket_of[p] == b) out[k++] = p;
-    std::sort(out, out + k, [&](i64 a, i64 bb) {
+    {
+        // threaded gather: each thread scans a text slice into its own
+        // buffer; buffers are concatenated in slice order (the following
+        // sort ignores input order)
+        int nt = std::max(1, c->nthreads);
+        std::vector<std::vector<i64>> part(nt);
+        std::vector<std::thread> ths;
+        i64 chunk = (c->n + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            ths.emplace_back([&, t]() {
+                i64 lo = t * chunk, hi = std::min(c->n, lo + chunk);
+                auto& dst = part[t];
+                for (i64 p = lo; p < hi; p++)
+                    if (c->bucket_of[p] == b) dst.push_back(p);
+            });
+        }
+        for (auto& th : ths) th.join();
+        for (auto& pt : part) {
+            std::memcpy(out + k, pt.data(), pt.size() * sizeof(i64));
+            k += (i64)pt.size();
+        }
+    }
+    psort(out, k, [&](i64 a, i64 bb) {
         return c->compare(a, bb) < 0;
-    });
+    }, c->nthreads);
     if (last) out[k++] = c->n;  // empty suffix sorts last
     return k;
 }

@@ -323,31 +323,67 @@ def batched_search(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
 
 
 def _pack_search_outputs(h_top, h_bot, h_off, h_len, nhits, sums, idt,
-                         compact: bool):
+                         compact: int):
     """Pack the 6 per-lane outputs into one array for a single fetch.
 
-    compact (narrow path, reads < 16 kbp): off/len and nhits/sums pairs
-    share an int32 word -> (L, 3*mh+1) int32, ~25% fewer bytes over a
-    ~17 MB/s tunnel download. Otherwise (L, 4*mh+2) in the row dtype."""
-    if compact:
+    compact=1 (narrow path, reads < 16 kbp): off/len and nhits/sums
+    pairs share an int32 word -> (L, 3*mh+1) int32, ~25% fewer bytes
+    over a bandwidth-limited tunnel download.
+    compact=2 (wide path, bwt_len < 2^36, mh%4==0): int64 rows split
+    into 32-bit low words + packed 4-bit high nibbles, biased +1 so the
+    -1 empty sentinel round-trips -> (L, 3*mh + mh/4 + 1) int32, ~2.4x
+    fewer bytes than the plain int64 dump.
+    Otherwise (L, 4*mh+2) in the row dtype."""
+    if compact == 1:
         offlen = ((h_off.astype(jnp.int32) << 16)
                   | h_len.astype(jnp.int32))
         ns = ((nhits << 16) | sums).astype(jnp.int32)
         return jnp.concatenate(
             [h_top.astype(jnp.int32), h_bot.astype(jnp.int32), offlen,
              ns[:, None]], axis=1)
+    if compact == 2:
+        import jax.lax as lax
+        L, mh = h_top.shape
+        tp = (h_top + 1).astype(jnp.uint64)
+        bp = (h_bot + 1).astype(jnp.uint64)
+        t_lo = lax.bitcast_convert_type(
+            (tp & 0xFFFFFFFF).astype(jnp.uint32), jnp.int32)
+        b_lo = lax.bitcast_convert_type(
+            (bp & 0xFFFFFFFF).astype(jnp.uint32), jnp.int32)
+        nib = ((tp >> 32) | ((bp >> 32) << 4)).astype(jnp.uint32)
+        n4 = nib.reshape(L, mh // 4, 4)
+        nwords = lax.bitcast_convert_type(
+            n4[:, :, 0] | (n4[:, :, 1] << 8) | (n4[:, :, 2] << 16)
+            | (n4[:, :, 3] << 24), jnp.int32)
+        offlen = ((h_off << 16) | h_len).astype(jnp.int32)
+        ns = ((nhits << 16) | sums).astype(jnp.int32)
+        return jnp.concatenate(
+            [t_lo, b_lo, offlen, nwords, ns[:, None]], axis=1)
     return jnp.concatenate(
         [h_top, h_bot, h_off, h_len,
          nhits.astype(idt)[:, None], sums.astype(idt)[:, None]], axis=1)
 
 
-def _unpack_search_outputs(packed: np.ndarray, mh: int, compact: bool):
+def _unpack_search_outputs(packed: np.ndarray, mh: int, compact: int):
     """Host-side inverse of _pack_search_outputs."""
     m = mh
-    if compact:
+    if compact == 1:
         ol = packed[:, 2 * m:3 * m]
         ns = packed[:, 3 * m]
         return [packed[:, :m], packed[:, m:2 * m],
+                (ol >> 16) & 0xFFFF, ol & 0xFFFF,
+                (ns >> 16) & 0xFFFF, ns & 0xFFFF]
+    if compact == 2:
+        L = packed.shape[0]
+        t_lo = np.ascontiguousarray(packed[:, :m]).view(np.uint32)
+        b_lo = np.ascontiguousarray(packed[:, m:2 * m]).view(np.uint32)
+        ol = packed[:, 2 * m:3 * m]
+        nib = np.ascontiguousarray(
+            packed[:, 3 * m:3 * m + m // 4]).view(np.uint8).reshape(L, m)
+        ns = packed[:, 3 * m + m // 4]
+        top = ((nib.astype(np.int64) & 15) << 32 | t_lo) - 1
+        bot = ((nib.astype(np.int64) >> 4) << 32 | b_lo) - 1
+        return [top, bot,
                 (ol >> 16) & 0xFFFF, ol & 0xFFFF,
                 (ns >> 16) & 0xFFFF, ns & 0xFFFF]
     return [packed[:, :m], packed[:, m:2 * m], packed[:, 2 * m:3 * m],
@@ -551,6 +587,9 @@ class BatchSearchEngine:
         # persistent cache)
         self.lane_bucket_lo = 256
         self.lmax_lo = 32
+        # cumulative transfer/extension counters (PerfMetrics surface)
+        self.stats = {"upload_bytes": 0, "download_bytes": 0,
+                      "ext_searches": 0, "ext_lanes": 0}
 
     def pack(self, seqs: List[np.ndarray], lmax: int,
              nlanes: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -572,10 +611,17 @@ class BatchSearchEngine:
                 rseq[rows, lens[rows] - 1 - col] = allseq
         return rseq, lengths
 
-    def _compact_ok(self, lmax: int) -> bool:
+    def _compact_ok(self, lmax: int, mh: int = 16) -> int:
         # the compact output packing needs off/len/nhits/sums to fit
-        # 16-bit fields and int32 rows (narrow path)
-        return (not self.fm.wide) and lmax < 16384
+        # 16-bit fields (mode 1, int32 rows) -- or, on the wide path,
+        # rows+1 to fit 36 bits with mh divisible by 4 (mode 2)
+        if lmax >= 16384:
+            return 0
+        if not self.fm.wide:
+            return 1
+        if mh % 4 == 0 and self.fm.bwt_len + 1 < (1 << 36):
+            return 2
+        return 0
 
     @staticmethod
     def transport(rseq: np.ndarray) -> np.ndarray:
@@ -585,7 +631,8 @@ class BatchSearchEngine:
                 | (rseq[:, 1::2].astype(np.uint8) << 4))
 
     def _run(self, rseq, lengths, start, max_hits, first_hit_only):
-        compact = self._compact_ok(rseq.shape[1])
+        compact = self._compact_ok(rseq.shape[1], max_hits)
+        self.stats["upload_bytes"] += rseq.nbytes // 2 + lengths.nbytes
         packed = np.asarray(batched_search_packed(
             self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
             jnp.asarray(self.fm.zoff, self.fm.row_dtype),
@@ -594,6 +641,7 @@ class BatchSearchEngine:
             increment=self.increment, max_hits=max_hits,
             first_hit_only=first_hit_only, nblk=self.fm.nblk,
             compact=compact, packed_input=True))
+        self.stats["download_bytes"] += packed.nbytes
         return _unpack_search_outputs(packed, max_hits, compact)
 
     def search_async(self, seqs: List[np.ndarray], presolve: bool = False,
@@ -615,7 +663,7 @@ class BatchSearchEngine:
         mh = min(self.FIRST_MAX_HITS, lmax)
         common = (self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
                   jnp.asarray(self.fm.zoff, self.fm.row_dtype))
-        compact = self._compact_ok(rseq.shape[1])
+        compact = self._compact_ok(rseq.shape[1], mh)
         if presolve:
             fm = self.fm
             rk = 16 if khits <= 5 else min(128, 4 * khits)
@@ -631,6 +679,9 @@ class BatchSearchEngine:
                 packed_input=True)
             packed, prows, ptidx = out
             _start_host_copy(packed, prows, ptidx)
+            self.stats["upload_bytes"] += rseq.nbytes // 2 + lengths.nbytes
+            self.stats["download_bytes"] += (packed.nbytes + prows.nbytes
+                                             + ptidx.nbytes)
             return (packed, rseq, lengths, mh, lmax, nlanes, compact,
                     (prows, ptidx))
         packed = batched_search_packed(
@@ -640,6 +691,8 @@ class BatchSearchEngine:
             increment=self.increment, max_hits=mh, first_hit_only=False,
             nblk=self.fm.nblk, compact=compact, packed_input=True)
         _start_host_copy(packed)
+        self.stats["upload_bytes"] += rseq.nbytes // 2 + lengths.nbytes
+        self.stats["download_bytes"] += packed.nbytes
         return (packed, rseq, lengths, mh, lmax, nlanes, compact, None)
 
     def search_collect(self, handle, L: int):
@@ -710,6 +763,8 @@ class BatchSearchEngine:
         L = len(seqs)
         lmax = _bucket(max((len(s) for s in seqs), default=1), lo=32)
         chunk = self.FIRST_HITS_CHUNK
+        self.stats["ext_searches"] += (L + chunk - 1) // chunk
+        self.stats["ext_lanes"] += L
         outs = []
         for c0 in range(0, L, chunk):
             part = seqs[c0: c0 + chunk]

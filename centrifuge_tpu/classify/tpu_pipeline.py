@@ -51,7 +51,8 @@ class TPUClassificationPipeline:
     """Classify batches of reads with device-accelerated search/resolve."""
 
     def __init__(self, idx: CFIndex, cfg: Optional[PipelineConfig] = None,
-                 device=None, mesh=None, n_fm: int = None, wide=None):
+                 device=None, mesh=None, n_fm: int = None, wide=None,
+                 dfm: Optional[DeviceFMIndex] = None):
         """mesh: a 2-D (dp, fm) jax Mesh -> the search and SA-resolution
         run BWT-range-sharded + read-data-parallel across its devices
         (parallel/sharded.py); everything downstream (extension fixpoint,
@@ -69,7 +70,11 @@ class TPUClassificationPipeline:
             resolver = make_sharded_resolver(mesh, sharr)
             self._init_with_engine(idx, cfg, engine, resolver)
         else:
-            dfm = DeviceFMIndex.build(idx, device=device, wide=wide)
+            # a prebuilt DeviceFMIndex skips the host block packing +
+            # device upload (minutes for multi-Gbp indexes), letting
+            # several pipelines share one device-resident index
+            if dfm is None:
+                dfm = DeviceFMIndex.build(idx, device=device, wide=wide)
             engine = BatchSearchEngine(dfm, cfg.classifier.min_hitlen)
             resolver = make_resolver(dfm)
             self._init_with_engine(idx, cfg, engine, resolver, dfm=dfm)
@@ -157,6 +162,21 @@ class TPUClassificationPipeline:
         self._spm_dirty = True
 
     # ---- batched units ----
+
+    def _collect(self, handle, n_lanes):
+        """search_collect with the blocked-on-device time + engine
+        transfer counters folded into PerfMetrics."""
+        import time as _t
+        t0 = _t.perf_counter()
+        out = self.engine.search_collect(handle, n_lanes)
+        self.metrics.collect_wait_secs += _t.perf_counter() - t0
+        st = getattr(self.engine, "stats", None)
+        if st is not None:
+            self.metrics.upload_bytes = st["upload_bytes"]
+            self.metrics.download_bytes = st["download_bytes"]
+            self.metrics.ext_searches = st["ext_searches"]
+            self.metrics.ext_lanes = st["ext_lanes"]
+        return out
 
     def _prep_unpaired(self, recs):
         """[[(seq, revcomp)]] per read with ONE batched complement."""
@@ -290,14 +310,21 @@ class TPUClassificationPipeline:
                 ihits=self.classifier.ihits)
         self.metrics.lanes += len(lane_seqs)
         self.metrics.device_dispatches += 1
+        m = self.metrics
+        for unit, ok in zip(units, active):
+            if not ok:
+                continue
+            if len(unit) == 2:
+                m.paired += 1
+            elif len(unit) == 1:
+                m.unpaired += 1
         return lane_seqs, lane_map, handle
 
     def _finish_batch(self, recs, passes, units, fut,
                       seeds=None) -> List[str]:
         lane_seqs, lane_map, handle = fut
         if self.native is not None and lane_seqs:
-            arrays, prefetch = self.engine.search_collect(
-                handle, len(lane_seqs))
+            arrays, prefetch = self._collect(handle, len(lane_seqs))
             if seeds is None:
                 seeds = gen_read_seeds_batch(recs, self.cfg.seed)
             if self._flat_eligible():
@@ -457,8 +484,7 @@ class TPUClassificationPipeline:
         if not lane_seqs:
             return self._emit_rows_paired(
                 pairs, passes, [[] for _ in pairs], [0] * len(pairs))
-        arrays, prefetch = self.engine.search_collect(
-            handle, len(lane_seqs))
+        arrays, prefetch = self._collect(handle, len(lane_seqs))
         if seeds is None:
             seeds = self._paired_seeds(pairs, passes)
         if self._flat_eligible():

@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("reads")
     ap.add_argument("--ref-binary", default=None,
                     help="reference centrifuge-class for the parity leg")
+    ap.add_argument("--ref-tsv", default=None,
+                    help="pre-generated reference TSV (from centrifuge-class "
+                         "--reorder on the same index/reads) to byte-compare "
+                         "instead of running the binary")
     ap.add_argument("--reads-count", type=int, default=2 * BATCH)
     ap.add_argument("--out", default=None, help="write the JSON line here too")
     args = ap.parse_args(argv)
@@ -55,9 +59,10 @@ def main(argv=None):
     reads = read_batch([args.reads])[:args.reads_count]
     n_full = (len(reads) // BATCH) * BATCH
     reads = reads[:n_full]
+    t0 = time.time()
     pipe = TPUClassificationPipeline(idx)
     assert pipe.dfm.wide, "device index not on the wide path"
-    print("device arrays built", flush=True)
+    print(f"device arrays built ({time.time()-t0:.1f}s)", flush=True)
 
     t0 = time.time()
     for _ in pipe.classify_stream_unpaired([reads[:BATCH]]):
@@ -67,7 +72,9 @@ def main(argv=None):
     runs = []
     rows = []
     for _ in range(3):
-        pipe2 = TPUClassificationPipeline(idx)
+        # fresh pipeline state (species metrics carry across batches) but
+        # the SAME device-resident index -- no re-pack / re-upload
+        pipe2 = TPUClassificationPipeline(idx, dfm=pipe.dfm)
         t0 = time.time()
         rows = [pipe2.formatter.header()]
         for chunk in pipe2.classify_stream_unpaired(
@@ -79,7 +86,9 @@ def main(argv=None):
 
     parity = None
     ref_t = None
-    if args.ref_binary:
+    if args.ref_tsv:
+        parity = open(args.ref_tsv).read() == ours
+    elif args.ref_binary:
         ref_out = args.index_base + ".refparity.tsv"
         t0 = time.time()
         # --reorder: the reference sink reorders rows across threads

@@ -19,8 +19,11 @@ from typing import List, Optional, TextIO
 
 COLUMNS = [
     "time", "secs", "reads", "bases", "filtered", "unfiltered",
-    "batches", "lanes", "device_dispatches", "resolve_rows",
-    "resolve_miss_rows", "reads_classified", "reads_unclassified", "assignments",
+    "paired", "unpaired",
+    "batches", "lanes", "device_dispatches", "ext_searches", "ext_lanes",
+    "resolve_rows", "resolve_miss_rows",
+    "upload_bytes", "download_bytes", "collect_wait_secs", "device_overlap",
+    "reads_classified", "reads_unclassified", "assignments",
     "reads_per_sec",
 ]
 
@@ -30,11 +33,18 @@ class PerfMetrics:
     reads: int = 0
     bases: int = 0
     filtered: int = 0
+    paired: int = 0          # read units dispatched as pairs
+    unpaired: int = 0
     batches: int = 0
     lanes: int = 0
     device_dispatches: int = 0
+    ext_searches: int = 0    # extension-fixpoint device calls
+    ext_lanes: int = 0       # lanes across those calls
     resolve_rows: int = 0
     resolve_miss_rows: int = 0
+    upload_bytes: int = 0    # host->device batch payloads
+    download_bytes: int = 0  # device->host result payloads
+    collect_wait_secs: float = 0.0  # host blocked on device results
     reads_classified: int = 0
     reads_unclassified: int = 0
     assignments: int = 0
@@ -79,11 +89,20 @@ class MetricsEmitter:
             self._write("\t".join(COLUMNS))
             self.header_written = True
         secs = now - self.t0
+        # device_overlap: fraction of wall time the host was NOT blocked
+        # waiting for device results -- the pipelining-efficiency measure
+        overlap = 1.0 - min(m.collect_wait_secs / max(secs, 1e-9), 1.0)
         vals = [time.strftime("%H:%M:%S"), f"{secs:.1f}",
                 str(m.reads), str(m.bases), str(m.filtered),
-                str(m.reads - m.filtered), str(m.batches), str(m.lanes),
-                str(m.device_dispatches), str(m.resolve_rows),
-                str(m.resolve_miss_rows), str(m.reads_classified), str(m.reads_unclassified),
+                str(m.reads - m.filtered),
+                str(m.paired), str(m.unpaired),
+                str(m.batches), str(m.lanes),
+                str(m.device_dispatches),
+                str(m.ext_searches), str(m.ext_lanes),
+                str(m.resolve_rows), str(m.resolve_miss_rows),
+                str(m.upload_bytes), str(m.download_bytes),
+                f"{m.collect_wait_secs:.2f}", f"{overlap:.3f}",
+                str(m.reads_classified), str(m.reads_unclassified),
                 str(m.assignments), f"{m.reads / max(secs, 1e-9):.1f}"]
         self._write("\t".join(vals))
 

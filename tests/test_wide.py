@@ -91,3 +91,50 @@ def test_narrow_build_rejects_giant_without_x64():
     fake.bwt_len = 1 << 31
     with pytest.raises(RuntimeError, match="wide path"):
         DeviceFMIndex.build(fake)
+
+
+_PACK_SCRIPT = r"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+import sys
+sys.path.insert(0, %(repo)r)
+import numpy as np
+import jax.numpy as jnp
+from centrifuge_tpu.classify.engine import (_pack_search_outputs,
+                                            _unpack_search_outputs)
+rng = np.random.default_rng(7)
+L, mh = 64, 16
+top = rng.integers(0, (1 << 36) - 1, (L, mh), dtype=np.int64)
+bot = np.minimum(top + rng.integers(0, 1 << 35, (L, mh), dtype=np.int64),
+                 (1 << 36) - 2)
+top[0, :3] = -1
+bot[0, :3] = -1
+top[1, 0] = (1 << 36) - 2
+bot[1, 0] = (1 << 36) - 2
+off = rng.integers(0, 1 << 14, (L, mh), dtype=np.int64)
+ln = rng.integers(0, 1 << 14, (L, mh), dtype=np.int64)
+nh = rng.integers(0, mh + 1, L, dtype=np.int32)
+sm = rng.integers(0, 1 << 14, L, dtype=np.int32)
+packed = np.asarray(_pack_search_outputs(
+    jnp.asarray(top), jnp.asarray(bot), jnp.asarray(off),
+    jnp.asarray(ln), jnp.asarray(nh), jnp.asarray(sm), jnp.int64, 2))
+t2, b2, o2, l2, n2, s2 = _unpack_search_outputs(packed, mh, 2)
+np.testing.assert_array_equal(t2, top)
+np.testing.assert_array_equal(b2, bot)
+np.testing.assert_array_equal(o2, off)
+np.testing.assert_array_equal(l2, ln)
+np.testing.assert_array_equal(n2, nh)
+np.testing.assert_array_equal(s2, sm)
+print('PACK_OK')
+"""
+
+
+def test_wide_compact_pack_roundtrip():
+    """Mode-2 output packing must round-trip int64 hit rows at real
+    >2^31 magnitudes (incl. the -1 empty sentinel and the 2^36-2 max).
+    Runs under x64 in a subprocess (x64 is process-global)."""
+    out = subprocess.run(
+        [sys.executable, "-c", _PACK_SCRIPT % {"repo": REPO}],
+        capture_output=True, text=True, timeout=300)
+    assert "PACK_OK" in out.stdout, out.stderr[-2000:]
