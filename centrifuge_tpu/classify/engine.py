@@ -497,7 +497,7 @@ def _presolve_pick_rows(h_top, h_bot, h_len, khits: int, ihits: int,
 @functools.partial(jax.jit, static_argnames=(
     "min_hitlen", "increment", "max_hits", "nblk", "khits", "ihits", "rk",
     "sample_mask", "offrate", "has_bounds", "narrow", "max_steps",
-    "compact", "packed_input"))
+    "compact", "packed_input", "phase1_steps"))
 def batched_search_presolve(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                             offs, boundary_rows, boundary_refs,
                             rseq, lengths, start_cur,
@@ -506,14 +506,15 @@ def batched_search_presolve(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                             sample_mask: int, offrate: int,
                             has_bounds: bool, narrow: bool, max_steps: int,
                             compact: bool = False,
-                            packed_input: bool = False):
+                            packed_input: bool = False,
+                            phase1_steps: int = None):
     """Search + speculative SA resolution in ONE dispatch.
 
     Besides the packed hit buffers, returns the predicted rows and their
     resolved sequence indexes, so in the common case the host never has
     to come back to the device for resolution (the round trip matters:
     each dispatch has ~50 ms latency on a tunneled device)."""
-    from ..ops.fm_jax import resolve_rows_core
+    from ..ops.fm_jax import resolve_rows_core, resolve_rows_two_phase
     kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk)
     rs = _unpack_rseq(rseq) if packed_input else rseq.astype(jnp.int32)
     h_top, h_bot, h_off, h_len, nhits, sums = search_loop(
@@ -535,14 +536,23 @@ def batched_search_presolve(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
     valid = slot < nrows[mate]
     src = mate * rk + jnp.clip(slot, 0, rk - 1)
     flat = jnp.where(valid, rows.reshape(-1)[src], 0)
-    tidx = resolve_rows_core(
-        fm_blocks, fm_fchr, offs, boundary_rows, boundary_refs, zoff,
-        flat, sample_mask, offrate, has_bounds, narrow, max_steps)
     # (a dense hit-compaction transfer was tried here and reverted: the
     # searchsorted+gather compaction cost more device time than the
     # ~2 MB it saved at the tunnel's ~17 MB/s download rate)
     packed = _pack_search_outputs(h_top, h_bot, h_off, h_len, nhits,
                                   sums, idt, compact)
+    if phase1_steps is not None:
+        # multi-GB tables: the lockstep walk tail is HBM-latency-bound,
+        # so survivors after phase1_steps compact to 1/8 width and only
+        # they pay the tail (ops/fm_jax.resolve_rows_two_phase)
+        k1, t1, k2, t2 = resolve_rows_two_phase(
+            fm_blocks, fm_fchr, offs, boundary_rows, boundary_refs, zoff,
+            flat, sample_mask, offrate, has_bounds, narrow, max_steps,
+            phase1_steps=phase1_steps)
+        return packed, k1, t1, k2, t2
+    tidx = resolve_rows_core(
+        fm_blocks, fm_fchr, offs, boundary_rows, boundary_refs, zoff,
+        flat, sample_mask, offrate, has_bounds, narrow, max_steps)
     return packed, flat, tidx
 
 
@@ -590,6 +600,9 @@ class BatchSearchEngine:
         # cumulative transfer/extension counters (PerfMetrics surface)
         self.stats = {"upload_bytes": 0, "download_bytes": 0,
                       "ext_searches": 0, "ext_lanes": 0}
+        # tables above this block count get the two-phase resolve walk
+        # (lockstep tail is HBM-latency-bound on multi-GB tables)
+        self.presolve_phase1_nblk = 1 << 16
 
     def pack(self, seqs: List[np.ndarray], lmax: int,
              nlanes: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -667,6 +680,9 @@ class BatchSearchEngine:
         if presolve:
             fm = self.fm
             rk = 16 if khits <= 5 else min(128, 4 * khits)
+            # large tables (>= ~33 Mbp): two-phase resolve walk (the
+            # lockstep tail is latency-bound there; see fm_jax)
+            phase1 = 48 if fm.nblk > self.presolve_phase1_nblk else None
             out = batched_search_presolve(
                 *common, fm.offs, fm.boundary_rows, fm.boundary_refs,
                 jnp.asarray(self.transport(rseq)), jnp.asarray(lengths),
@@ -676,14 +692,14 @@ class BatchSearchEngine:
                 sample_mask=(1 << fm.offrate) - 1, offrate=fm.offrate,
                 has_bounds=fm.boundary_rows.shape[0] > 0,
                 narrow=fm.npat <= 0xFFFF, max_steps=4096, compact=compact,
-                packed_input=True)
-            packed, prows, ptidx = out
-            _start_host_copy(packed, prows, ptidx)
+                packed_input=True, phase1_steps=phase1)
+            packed, pre = out[0], out[1:]
+            _start_host_copy(packed, *pre)
             self.stats["upload_bytes"] += rseq.nbytes // 2 + lengths.nbytes
-            self.stats["download_bytes"] += (packed.nbytes + prows.nbytes
-                                             + ptidx.nbytes)
+            self.stats["download_bytes"] += (packed.nbytes
+                                             + sum(a.nbytes for a in pre))
             return (packed, rseq, lengths, mh, lmax, nlanes, compact,
-                    (prows, ptidx))
+                    pre)
         packed = batched_search_packed(
             *common,
             jnp.asarray(self.transport(rseq)), jnp.asarray(lengths),
@@ -706,8 +722,17 @@ class BatchSearchEngine:
         out = [a[:L] for a in out]
         prefetch = None
         if pre is not None:
-            prows = np.asarray(pre[0])
-            ptidx = np.asarray(pre[1])
+            if len(pre) == 2:
+                prows = np.asarray(pre[0])
+                ptidx = np.asarray(pre[1])
+            else:
+                # two-phase walk: phase-1 keys (+ -1 masks for rows the
+                # phase didn't finish) plus the compacted phase-2 pairs;
+                # -1 keys never match a real request -> fallback batch
+                prows = np.concatenate([np.asarray(pre[0]),
+                                        np.asarray(pre[2])])
+                ptidx = np.concatenate([np.asarray(pre[1]),
+                                        np.asarray(pre[3])])
             order = np.argsort(prows, kind="stable")
             prefetch = (prows[order], ptidx[order])
         return out, prefetch

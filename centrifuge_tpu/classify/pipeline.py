@@ -116,6 +116,12 @@ class PipelineConfig:
     # native C++ assignment engine (classify/native); falls back to the
     # Python path automatically if the extension cannot build
     use_native: bool = True
+    # resolve SA rows with the native host LF walk (native/fmwalk.cpp)
+    # instead of the device presolve: per-row early exit beats the
+    # device's lockstep max walk and removes the prefetch download.
+    # Auto-disabled when the extension cannot build or on sharded/
+    # multi-host paths (their resolver keeps SPMD processes in sync).
+    host_resolve: bool = True
     # overlap device round-trip waits with host compute via a 2-worker
     # thread stage; OFF by default because the axon dev tunnel's
     # compile/execute path is not thread-safe (deadlocks observed)

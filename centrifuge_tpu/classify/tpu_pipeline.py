@@ -74,10 +74,26 @@ class TPUClassificationPipeline:
             # device upload (minutes for multi-Gbp indexes), letting
             # several pipelines share one device-resident index
             if dfm is None:
-                dfm = DeviceFMIndex.build(idx, device=device, wide=wide)
+                dfm = DeviceFMIndex.build(idx, device=device, wide=wide,
+                                          keep_host_blocks=cfg.host_resolve)
             engine = BatchSearchEngine(dfm, cfg.classifier.min_hitlen)
             resolver = make_resolver(dfm)
             self._init_with_engine(idx, cfg, engine, resolver, dfm=dfm)
+            if cfg.host_resolve and dfm.host_blocks is not None:
+                try:
+                    from ..native.fmwalk import HostResolver
+                    # pipelines sharing a prebuilt dfm share one resolver
+                    # (its __init__ converts multi-100MB sample arrays)
+                    hr = getattr(dfm, "_host_resolver", None)
+                    if hr is None:
+                        hr = HostResolver(dfm.host_blocks, idx, dfm.wide)
+                        dfm._host_resolver = hr
+                    self.resolver = hr
+                    # rows resolve on the host now: skip the speculative
+                    # device presolve AND its prefetch download
+                    self.presolve = False
+                except Exception:
+                    pass
 
     def _init_with_engine(self, idx, cfg, engine, resolver, dfm=None,
                           sync=None):
@@ -91,6 +107,9 @@ class TPUClassificationPipeline:
         self.engine = engine
         self.resolver = resolver
         self.sync = sync
+        # speculative in-dispatch SA resolution; turned off when a host
+        # resolver takes over (__init__)
+        self.presolve = True
         # host-side classifier: algorithm only, no FM oracle needed
         self.classifier = Classifier(idx, None, self.cfg.classifier)
         self.formatter = ResultFormatter(idx, self.cfg)
@@ -305,7 +324,8 @@ class TPUClassificationPipeline:
         handle = None
         if lane_seqs:
             handle = self.engine.search_async(
-                lane_seqs, presolve=self.native is not None,
+                lane_seqs,
+                presolve=self.native is not None and self.presolve,
                 khits=self.cfg.classifier.khits,
                 ihits=self.classifier.ihits)
         self.metrics.lanes += len(lane_seqs)

@@ -1,0 +1,151 @@
+// Host-side FM resolve walk: SA row -> sequence index, one LF step at a
+// time until a sampled row / genome-boundary row / '$' exit.
+//
+// Why this exists: the device resolve walk (ops/fm_jax.resolve_rows_core)
+// runs all rows in lockstep, so every row pays the MAX walk length over
+// the batch (~16*ln(B) steps at offrate 4) even though the mean is only
+// 2^offrate. On multi-GB block tables each lockstep step is an
+// HBM-latency-bound gather over the full batch width, which makes the
+// walk dominate the fused search dispatch (measured 1.35 s of a 1.65 s
+// dispatch on a 2.2 Gbp index). On the host each row walks independently
+// with per-row early exit -- mean work, not max -- and the batch threads
+// trivially. Semantics mirror the reference tryOffset/GroupWalk
+// (bt2_idx.h:1980-2014) exactly as the device kernels do; the device
+// resolver stays authoritative for sharded/multi-host runs.
+//
+// Block layout (ops/fm_jax.pack_bwt_blocks): uint32 rows of
+//   narrow: occ[4]           | words[32]   (word_off = 4)
+//   wide:   occ_lo[4] occ_hi[4] | words[32] (word_off = 8)
+// 512 bases/block, 16 bases/word, little-endian 2-bit codes. Occ
+// checkpoints are global prefix counts; '$' is stored as code 0 and the
+// rank subtracts it once (adj below), matching fm_jax.rank_in_block.
+
+#include <cstdint>
+#include <thread>
+#include <vector>
+
+namespace {
+
+const uint32_t kCharPattern[4] = {0x00000000u, 0x55555555u, 0xAAAAAAAAu,
+                                  0xFFFFFFFFu};
+
+inline int popcount32(uint32_t x) { return __builtin_popcount(x); }
+
+// count of char-c bases among the first nvalid (<=16) bases of word
+inline int count_c(uint32_t word, uint32_t pattern, int nvalid) {
+  uint32_t x = word ^ pattern;
+  uint32_t y = (~x) & ((~x) >> 1) & 0x55555555u;
+  uint32_t mask =
+      nvalid >= 16 ? 0xFFFFFFFFu : ((1u << (2 * (nvalid & 15))) - 1u);
+  return popcount32(y & mask);
+}
+
+struct WalkCtx {
+  const uint32_t* blocks;
+  int64_t nblk;
+  int32_t word_off;  // 4 narrow, 8 wide
+  int32_t row_width; // word_off + 32
+  const int64_t* fchr;
+  const int32_t* offs;
+  int64_t noffs;
+  const int64_t* brows;
+  const int32_t* brefs;
+  int64_t nbounds;
+  int64_t zoff;
+  int64_t sample_mask;
+  int32_t offrate;
+  int32_t narrow;
+  int64_t max_steps;
+};
+
+// sample/boundary/'$' exits for the current row; -1 = keep walking.
+// Exit precedence matches fm_jax._try_offset: the '$' row wins over a
+// sampled hit (applied last there), sampled wins over boundary.
+inline int32_t try_offset(const WalkCtx& c, int64_t r) {
+  if (r == c.zoff) return 0;
+  if ((r & c.sample_mask) == 0) {
+    int64_t si = r >> c.offrate;
+    if (si < 0) si = 0;
+    if (si >= c.noffs) si = c.noffs - 1;
+    return c.offs[si];
+  }
+  if (c.nbounds > 0) {
+    int64_t last = c.brows[c.nbounds - 1];
+    // gated on a nonzero max boundary row (bt2_idx.h:2001-2010)
+    if (last > 0 && r <= last) {
+      int64_t lo = 0, hi = c.nbounds;  // lower_bound
+      while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (c.brows[mid] < r) lo = mid + 1; else hi = mid;
+      }
+      if (lo < c.nbounds && c.brows[lo] == r) {
+        int32_t v = c.brefs[lo];
+        if (c.narrow) v &= 0xFFFF;
+        return v;
+      }
+    }
+  }
+  return -1;
+}
+
+// one LF step: row -> LF(row, BWT[row]); mirrors fm_jax lf_step_with_char
+inline int64_t lf_step(const WalkCtx& c, int64_t r) {
+  int64_t blk = r >> 9;
+  int within = (int)(r & 511);
+  const uint32_t* row = c.blocks + blk * c.row_width;
+  const uint32_t* words = row + c.word_off;
+  uint32_t word = words[within >> 4];
+  int ch = (int)((word >> (2 * (within & 15))) & 3u);
+  uint64_t base;
+  if (c.word_off == 8)
+    base = (uint64_t)row[ch] | ((uint64_t)row[ch + 4] << 32);
+  else
+    base = row[ch];
+  uint32_t pattern = kCharPattern[ch];
+  int64_t cnt = 0;
+  int full = within >> 4;
+  for (int w = 0; w < full; ++w) cnt += count_c(words[w], pattern, 16);
+  int rem = within & 15;
+  if (rem) cnt += count_c(words[full], pattern, rem);
+  int adj = (ch == 0 && c.zoff < r) ? 1 : 0;
+  return c.fchr[ch] + (int64_t)base + cnt - adj;
+}
+
+inline int32_t resolve_one(const WalkCtx& c, int64_t r) {
+  int32_t t = try_offset(c, r);
+  for (int64_t it = 0; t < 0 && it < c.max_steps; ++it) {
+    r = lf_step(c, r);
+    t = try_offset(c, r);
+  }
+  return t;
+}
+
+}  // namespace
+
+extern "C" void fm_resolve_rows(
+    const uint32_t* blocks, int64_t nblk, int32_t word_off,
+    const int64_t* fchr, const int32_t* offs, int64_t noffs,
+    const int64_t* boundary_rows, const int32_t* boundary_refs,
+    int64_t nbounds, int64_t zoff, int64_t sample_mask, int32_t offrate,
+    int32_t narrow, int64_t max_steps, const int64_t* rows,
+    int32_t* out_tidx, int64_t n, int32_t nthreads) {
+  WalkCtx c{blocks, nblk,  word_off, word_off + 32, fchr,
+            offs,   noffs, boundary_rows, boundary_refs, nbounds,
+            zoff,   sample_mask, offrate, narrow, max_steps};
+  if (nthreads <= 1 || n < 1024) {
+    for (int64_t i = 0; i < n; ++i) out_tidx[i] = resolve_one(c, rows[i]);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t chunk = (n + nthreads - 1) / nthreads;
+  for (int32_t t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk, hi = lo + chunk;
+    if (hi > n) hi = n;
+    if (lo >= hi) break;
+    ts.emplace_back([&c, rows, out_tidx, lo, hi]() {
+      for (int64_t i = lo; i < hi; ++i)
+        out_tidx[i] = resolve_one(c, rows[i]);
+    });
+  }
+  for (auto& t : ts) t.join();
+}

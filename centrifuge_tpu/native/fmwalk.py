@@ -1,0 +1,87 @@
+"""Host-side FM resolve walk (ctypes wrapper for fmwalk.cpp).
+
+Drop-in replacement for the device resolver from ops/fm_jax.make_resolver
+on single-process runs: rows walk independently with per-row early exit
+(mean ~2^offrate steps) instead of the device's lockstep max, and the
+result needs no device round trip or prefetch download. The device
+resolver remains authoritative for sharded/multi-host paths, and tests
+compare the two for equality (tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB = None
+_LIB_FAILED = False
+
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+
+
+def _load():
+    global _LIB, _LIB_FAILED
+    if _LIB is not None or _LIB_FAILED:
+        return _LIB
+    try:
+        from .compile import build_native
+        lib = C.CDLL(build_native(os.path.join(_HERE, "fmwalk.cpp"),
+                                  extra_flags=("-pthread",)))
+        lib.fm_resolve_rows.argtypes = [
+            _u32p, C.c_int64, C.c_int32, _i64p, _i32p, C.c_int64,
+            _i64p, _i32p, C.c_int64, C.c_int64, C.c_int64, C.c_int32,
+            C.c_int32, C.c_int64, _i64p, _i32p, C.c_int64, C.c_int32]
+        _LIB = lib
+    except Exception:
+        _LIB_FAILED = True
+        _LIB = None
+    return _LIB
+
+
+class HostResolver:
+    """rows -> tidx resolver over the host copy of the packed BWT blocks.
+
+    Built from the same pack_bwt_blocks array that DeviceFMIndex uploads
+    (DeviceFMIndex.build(keep_host_blocks=True) retains it), so host and
+    device walks read identical bytes.
+    """
+
+    def __init__(self, host_blocks: np.ndarray, idx, wide: bool,
+                 max_steps: int = 4096, nthreads: int = None):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native fmwalk unavailable")
+        self.lib = lib
+        self.blocks = np.ascontiguousarray(host_blocks, np.uint32)
+        self.word_off = 8 if wide else 4
+        assert host_blocks.shape[1] == self.word_off + 32
+        self.nblk = host_blocks.shape[0]
+        self.fchr = np.ascontiguousarray(idx.fchr, np.int64)
+        self.offs = np.ascontiguousarray(idx.offs, np.int32)
+        self.brows = np.ascontiguousarray(idx.boundary_rows, np.int64)
+        self.brefs = np.ascontiguousarray(idx.boundary_refidx, np.int32)
+        self.zoff = int(idx.zoff)
+        self.offrate = int(idx.offrate)
+        self.sample_mask = (1 << self.offrate) - 1
+        self.narrow = int(idx.npat <= 0xFFFF)
+        self.max_steps = max_steps
+        self.wide = wide                  # resolver-protocol attribute
+        self.nthreads = nthreads or min(8, os.cpu_count() or 1)
+
+    def __call__(self, rows) -> np.ndarray:
+        rows = np.ascontiguousarray(np.asarray(rows), np.int64)
+        out = np.empty(rows.shape[0], np.int32)
+        if rows.shape[0] == 0:
+            return out
+        self.lib.fm_resolve_rows(
+            self.blocks, self.nblk, self.word_off, self.fchr,
+            self.offs, self.offs.shape[0], self.brows, self.brefs,
+            self.brows.shape[0], self.zoff, self.sample_mask,
+            self.offrate, self.narrow, self.max_steps, rows, out,
+            rows.shape[0], self.nthreads)
+        return out

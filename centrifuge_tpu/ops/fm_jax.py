@@ -100,6 +100,10 @@ class DeviceFMIndex:
     offrate: int
     npat: int
     wide: bool = False     # True: int64 rows, 64-bit occ checkpoints
+    host_blocks: object = None  # np.ndarray when built with
+                                # keep_host_blocks=True: the host copy of
+                                # the packed block rows, shared with the
+                                # native host resolver (native/fmwalk.py)
 
     @property
     def row_dtype(self):
@@ -110,7 +114,8 @@ class DeviceFMIndex:
         return 8 if self.wide else 4
 
     @staticmethod
-    def build(idx: CFIndex, device=None, wide: bool = None) -> "DeviceFMIndex":
+    def build(idx: CFIndex, device=None, wide: bool = None,
+              keep_host_blocks: bool = False) -> "DeviceFMIndex":
         if wide is None:
             wide = idx.bwt_len >= (1 << 31)
         if wide and not jax.config.jax_enable_x64:
@@ -169,6 +174,7 @@ class DeviceFMIndex:
             offrate=int(idx.offrate),
             npat=int(idx.npat),
             wide=wide,
+            host_blocks=rows if keep_host_blocks else None,
         )
 
 
@@ -346,43 +352,39 @@ def lf_step_with_char(blocks, fchr, zoff, rows):
     return lf_kernel(blocks, fchr, zoff, rows, c)
 
 
-def resolve_rows_core(blocks, fchr, offs, boundary_rows, boundary_refs,
-                      zoff, rows, sample_mask: int, offrate: int,
-                      has_bounds: bool, narrow: bool, max_steps: int):
-    """Traceable SA-row -> tidx walk; composable into larger jits (the
-    fused search+resolve dispatch) as well as the standalone resolver."""
+def _try_offset(blocks, offs, boundary_rows, boundary_refs, zoff, rows,
+                sample_mask, offrate, has_bounds, narrow):
+    """Sample/boundary/$ exits for the current rows (-1 = keep walking)."""
+    tidx = jnp.full(rows.shape, -1, jnp.int32)
+    sampled = (rows & sample_mask) == 0
+    si = jnp.clip(rows >> offrate, 0,
+                  offs.shape[0] * (offs.shape[1] if offs.ndim == 2
+                                   else 1) - 1)
+    if offs.ndim == 2:
+        srow = offs[si >> 3]                       # (B, 8) row gather
+        sval = _select_col(srow, (si & 7).astype(jnp.int32))
+    else:
+        sval = offs[si]
+    tidx = jnp.where(sampled, sval, tidx)
+    if has_bounds:
+        pos = jnp.searchsorted(boundary_rows, rows)
+        posc = jnp.clip(pos, 0, boundary_rows.shape[0] - 1)
+        is_b = (boundary_rows[posc] == rows) & ~sampled
+        bval = boundary_refs[posc]
+        if narrow:
+            bval = bval & 0xFFFF
+        # the check is gated on a nonzero max boundary row
+        # (bt2_idx.h:2001-2010)
+        last = boundary_rows[-1]
+        is_b = is_b & (last > 0) & (rows <= last)
+        tidx = jnp.where(is_b, bval, tidx)
+    tidx = jnp.where(rows == zoff, 0, tidx)
+    return tidx
 
-    def try_offset(rows):
-        tidx = jnp.full(rows.shape, -1, jnp.int32)
-        sampled = (rows & sample_mask) == 0
-        si = jnp.clip(rows >> offrate, 0,
-                      offs.shape[0] * (offs.shape[1] if offs.ndim == 2
-                                       else 1) - 1)
-        if offs.ndim == 2:
-            srow = offs[si >> 3]                       # (B, 8) row gather
-            sval = _select_col(srow, (si & 7).astype(jnp.int32))
-        else:
-            sval = offs[si]
-        tidx = jnp.where(sampled, sval, tidx)
-        if has_bounds:
-            pos = jnp.searchsorted(boundary_rows, rows)
-            posc = jnp.clip(pos, 0, boundary_rows.shape[0] - 1)
-            is_b = (boundary_rows[posc] == rows) & ~sampled
-            bval = boundary_refs[posc]
-            if narrow:
-                bval = bval & 0xFFFF
-            # the check is gated on a nonzero max boundary row
-            # (bt2_idx.h:2001-2010)
-            last = boundary_rows[-1]
-            is_b = is_b & (last > 0) & (rows <= last)
-            tidx = jnp.where(is_b, bval, tidx)
-        tidx = jnp.where(rows == zoff, 0, tidx)
-        return tidx
 
-    def cond(state):
-        rows, tidx, it = state
-        return (tidx < 0).any() & (it < max_steps)
-
+def _resolve_body(blocks, fchr, offs, boundary_rows, boundary_refs, zoff,
+                  sample_mask, offrate, has_bounds, narrow, unroll: int = 8):
+    """The unrolled while_loop body of the LF resolve walk."""
     word_off = _layout_word_off(blocks)
 
     def step(state):
@@ -399,20 +401,90 @@ def resolve_rows_core(blocks, fchr, offs, boundary_rows, boundary_refs,
         nxt = fchr[c] + _rank_from_rows(data, within, c, zoff, step_rows,
                                         word_off)
         rows = jnp.where(unresolved, nxt, rows)
-        t2 = try_offset(rows)
+        t2 = _try_offset(blocks, offs, boundary_rows, boundary_refs, zoff,
+                         rows, sample_mask, offrate, has_bounds, narrow)
         tidx = jnp.where(unresolved, t2, tidx)
         return rows, tidx, it + 1
 
     def body(state):
         # the step is a no-op on resolved rows, so unrolling amortizes
         # per-iteration dispatch overhead without changing results
-        for _ in range(8):
+        for _ in range(unroll):
             state = step(state)
         return state
 
-    tidx = try_offset(rows)
-    rows, tidx, _ = jax.lax.while_loop(cond, body, (rows, tidx, jnp.int32(0)))
+    return body
+
+
+def resolve_rows_core(blocks, fchr, offs, boundary_rows, boundary_refs,
+                      zoff, rows, sample_mask: int, offrate: int,
+                      has_bounds: bool, narrow: bool, max_steps: int):
+    """Traceable SA-row -> tidx walk; composable into larger jits (the
+    fused search+resolve dispatch) as well as the standalone resolver."""
+    def cond(state):
+        rows_, tidx_, it = state
+        return (tidx_ < 0).any() & (it < max_steps)
+
+    tidx = _try_offset(blocks, offs, boundary_rows, boundary_refs, zoff,
+                       rows, sample_mask, offrate, has_bounds, narrow)
+    rows, tidx, _ = jax.lax.while_loop(
+        cond, _resolve_body(blocks, fchr, offs, boundary_rows,
+                            boundary_refs, zoff, sample_mask, offrate,
+                            has_bounds, narrow),
+        (rows, tidx, jnp.int32(0)))
     return tidx
+
+
+def resolve_rows_two_phase(blocks, fchr, offs, boundary_rows, boundary_refs,
+                           zoff, rows, sample_mask: int, offrate: int,
+                           has_bounds: bool, narrow: bool, max_steps: int,
+                           phase1_steps: int, phase2_frac: int = 8):
+    """Width-compacted LF walk for LARGE indexes.
+
+    The walk length is geometric (P(>k) = ((2^offrate-1)/2^offrate)^k) but
+    lockstep makes every row pay the max over the batch (~170 steps at
+    32k rows, offrate 4) -- and on a multi-GB blocks table each row
+    gather is HBM-latency-bound (~100-200 ns/row), so the tail dominates
+    the fused dispatch. Phase 1 walks all W rows `phase1_steps` steps;
+    survivors compact (monotone searchsorted+gather -- scatter would
+    serialize) into W/phase2_frac slots and only they pay the tail.
+
+    Returns (keys, tidx, keys2, tidx2): the phase-1 keys have unresolved
+    entries masked to -1 (a row value no real request matches, so the
+    host prefetch cache treats them as misses); phase-2 survivors come
+    back as the extra (keys2, tidx2) pair. Survivors that overflow the
+    phase-2 width or outlast max_steps also stay masked -- correctness
+    never depends on the walk finishing, only the fallback batch does.
+    """
+    def walk(r0, t0, steps):
+        def cond(state):
+            rows_, tidx_, it = state
+            return (tidx_ < 0).any() & (it < steps)
+        return jax.lax.while_loop(
+            cond, _resolve_body(blocks, fchr, offs, boundary_rows,
+                                boundary_refs, zoff, sample_mask, offrate,
+                                has_bounds, narrow),
+            (r0, t0, jnp.int32(0)))
+
+    t0 = _try_offset(blocks, offs, boundary_rows, boundary_refs, zoff,
+                     rows, sample_mask, offrate, has_bounds, narrow)
+    rows1, tidx1, _ = walk(rows, t0, phase1_steps)
+
+    W = rows.shape[0]
+    W2 = max(min(W, 64), W // phase2_frac)
+    unres = tidx1 < 0
+    cs = jnp.cumsum(unres.astype(jnp.int32))
+    src = jnp.searchsorted(cs, jnp.arange(1, W2 + 1, dtype=jnp.int32))
+    valid2 = jnp.arange(W2, dtype=jnp.int32) < cs[-1]
+    srcc = jnp.clip(src, 0, W - 1)
+    rows2 = jnp.where(valid2, rows1[srcc], 0)
+    keys2 = jnp.where(valid2, rows[srcc], -1)
+    t2 = jnp.where(valid2, jnp.int32(-1), jnp.int32(0))
+    rows2, tidx2, _ = walk(rows2, t2, max_steps - phase1_steps)
+
+    keys1 = jnp.where(unres, jnp.asarray(-1, rows.dtype), rows)
+    keys2 = jnp.where(tidx2 < 0, jnp.asarray(-1, rows.dtype), keys2)
+    return keys1, tidx1, keys2, tidx2
 
 
 @functools.partial(jax.jit, static_argnames=("sample_mask", "offrate",

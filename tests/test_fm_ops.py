@@ -79,3 +79,83 @@ def test_resolution_identifies_sequence(oracle, brute):
             tidx_want = idx.npat - 1
         got = oracle.resolve_row(int(r))
         assert got == tidx_want, (r, pos, got, tidx_want)
+
+
+def test_resolve_two_phase_matches_core():
+    """Two-phase walk: resolved keys must agree with the single-phase
+    oracle; masked (-1) keys are exactly the rows the budget dropped.
+    phase1_steps=8 + a tiny phase-2 width force real survivors AND
+    overflow on the fixture index."""
+    import jax.numpy as jnp
+    import numpy as np
+    from centrifuge_tpu.index.cf_io import load_cf_index
+    from centrifuge_tpu.ops.fm_jax import (DeviceFMIndex, resolve_rows_core,
+                                           resolve_rows_two_phase)
+    import os
+    fx = os.path.join(os.path.dirname(__file__), "fixtures", "synth")
+    idx = load_cf_index(os.path.join(fx, "synth"))
+    fm = DeviceFMIndex.build(idx)
+    rng = np.random.default_rng(3)
+    rows = jnp.asarray(rng.integers(0, idx.bwt_len, 512).astype(np.int32))
+    args = (fm.blocks, fm.fchr, fm.offs, fm.boundary_rows,
+            fm.boundary_refs, jnp.asarray(fm.zoff, fm.row_dtype))
+    kw = dict(sample_mask=(1 << fm.offrate) - 1, offrate=fm.offrate,
+              has_bounds=fm.boundary_rows.shape[0] > 0,
+              narrow=fm.npat <= 0xFFFF)
+    oracle = np.asarray(resolve_rows_core(*args, rows, max_steps=4096, **kw))
+    k1, t1, k2, t2 = resolve_rows_two_phase(
+        *args, rows, max_steps=4096, phase1_steps=8, phase2_frac=32, **kw)
+    k1, t1, k2, t2 = map(np.asarray, (k1, t1, k2, t2))
+    rows_np = np.asarray(rows)
+    served = {}
+    for k, t in zip(np.concatenate([k1, k2]), np.concatenate([t1, t2])):
+        if k >= 0:
+            served[int(k)] = int(t)
+    n_served = 0
+    for i, r in enumerate(rows_np):
+        if int(r) in served:
+            assert served[int(r)] == oracle[i], (r, served[int(r)], oracle[i])
+            n_served += 1
+    # phase 1 at 8 steps resolves ~half; the tiny W2 forces overflow, so
+    # some rows must be served, some by phase 2, and some masked to -1
+    assert n_served > 200
+    assert (k2 >= 0).any(), "phase 2 produced nothing -- not exercised"
+    assert n_served < len(rows_np), "nothing overflowed -- not exercised"
+
+
+def test_engine_forced_two_phase_parity():
+    """Force the two-phase presolve on the small index and check the
+    full search_async/search_collect prefetch path still serves correct
+    resolutions (missing keys fall back, never wrong values)."""
+    import numpy as np
+    import os
+    from centrifuge_tpu.index.cf_io import load_cf_index
+    from centrifuge_tpu.ops.fm_jax import DeviceFMIndex, make_resolver
+    from centrifuge_tpu.classify.engine import BatchSearchEngine
+    from centrifuge_tpu.io.fastx import read_batch
+    fx = os.path.join(os.path.dirname(__file__), "fixtures", "synth")
+    idx = load_cf_index(os.path.join(fx, "synth"))
+    fm = DeviceFMIndex.build(idx)
+    reads = read_batch([os.path.join(fx, "reads.fq")])[:64]
+    seqs = []
+    for r in reads:
+        seqs.append(r.seq)
+        seqs.append(r.revcomp())
+    resolver = make_resolver(fm)
+
+    def collect(engine):
+        h = engine.search_async(seqs, presolve=True)
+        return engine.search_collect(h, len(seqs))
+
+    base = BatchSearchEngine(fm)
+    arrays_a, pre_a = collect(base)
+    forced = BatchSearchEngine(fm)
+    forced.presolve_phase1_nblk = 0   # force the two-phase walk
+    arrays_b, pre_b = collect(forced)
+    for a, b in zip(arrays_a, arrays_b):
+        np.testing.assert_array_equal(a, b)
+    # every key the two-phase prefetch serves must agree with the oracle
+    rows_b, tidx_b = pre_b
+    keep = rows_b >= 0
+    got = np.asarray(resolver(rows_b[keep].astype(np.int32)))
+    np.testing.assert_array_equal(tidx_b[keep], got[: keep.sum()])

@@ -124,3 +124,40 @@ def test_native_no_traverse_and_rank(synth_index, synth_reads):
     pn, pp = _pipelines(synth_index, classification_rank="genus")
     assert pn.classify_batch_unpaired(synth_reads[:400]) == \
         pp.classify_batch_unpaired(synth_reads[:400])
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_host_resolver_matches_device(synth_index, wide):
+    """native/fmwalk.cpp host LF walk == ops/fm_jax device resolver."""
+    from centrifuge_tpu.native.fmwalk import HostResolver
+    from centrifuge_tpu.ops.fm_jax import DeviceFMIndex, make_resolver
+    dfm = DeviceFMIndex.build(synth_index, wide=wide, keep_host_blocks=True)
+    dev = make_resolver(dfm)
+    host = HostResolver(dfm.host_blocks, synth_index, wide)
+    rng = np.random.default_rng(7)
+    rows = rng.integers(0, synth_index.bwt_len, 8192, dtype=np.int64)
+    # edge rows: start of table, the '$' row, boundary rows, last row
+    extra = np.concatenate([
+        np.array([0, synth_index.zoff, synth_index.bwt_len - 1], np.int64),
+        synth_index.boundary_rows[:32].astype(np.int64)])
+    rows = np.concatenate([rows, extra])
+    rdt = np.int64 if wide else np.int32
+    want = np.asarray(dev(rows.astype(rdt)))
+    got = host(rows)
+    np.testing.assert_array_equal(want, got)
+
+
+def test_host_resolve_pipeline_matches_presolve(synth_index, synth_reads):
+    """Full native pipeline with host_resolve on vs off: identical rows."""
+    from centrifuge_tpu.classify.pipeline import PipelineConfig
+    from centrifuge_tpu.classify.tpu_pipeline import TPUClassificationPipeline
+    ph = TPUClassificationPipeline(synth_index,
+                                   PipelineConfig(host_resolve=True))
+    pd = TPUClassificationPipeline(synth_index,
+                                   PipelineConfig(host_resolve=False))
+    assert not ph.presolve and pd.presolve
+    from centrifuge_tpu.native.fmwalk import HostResolver
+    assert isinstance(ph.resolver, HostResolver)
+    rows_h = ph.classify_batch_unpaired(synth_reads[:600])
+    rows_d = pd.classify_batch_unpaired(synth_reads[:600])
+    assert rows_h == rows_d
