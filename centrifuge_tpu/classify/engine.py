@@ -113,7 +113,8 @@ def _unpack_rseq(packed):
 
 def search_loop(kern: FMKernels, rseq, lengths, start_cur,
                 min_hitlen: int, increment: int, max_hits: int,
-                first_hit_only: bool, unroll: int = 8):
+                first_hit_only: bool, unroll: int = 8,
+                count_steps: bool = False):
     """Run the full per-strand greedy scan for every lane.
 
     rseq: (L, Lmax + fc) int32 reversed+padded reads.
@@ -149,6 +150,11 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         h_all=jnp.tile(jnp.array([-1, -1, 0, 0], idt),
                        (L, max_hits, 1)),
     )
+    if count_steps:
+        # lockstep-waste diagnostic: per-lane executed step count, so the
+        # mean/max ratio (lanes idle while the slowest finishes) is
+        # measurable on real workloads
+        state["steps"] = jnp.zeros(L, jnp.int32)
 
     def cond(s):
         return jnp.any(~s["done"])
@@ -246,9 +252,12 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         new_top = jnp.where(case_c_go, ftop, jnp.where(advance, t2, top))
         new_bot = jnp.where(case_c_go, fbot, jnp.where(advance, b2, bot))
 
-        return dict(cur=new_cur, done=new_done, mode=new_mode,
-                    offset=new_offset, dep=new_dep, top=new_top,
-                    bot=new_bot, nhits=nhits, sums=sums, h_all=h_all)
+        out = dict(cur=new_cur, done=new_done, mode=new_mode,
+                   offset=new_offset, dep=new_dep, top=new_top,
+                   bot=new_bot, nhits=nhits, sums=sums, h_all=h_all)
+        if count_steps:
+            out["steps"] = s["steps"] + active.astype(jnp.int32)
+        return out
 
     def body(s):
         for _ in range(unroll):
@@ -257,8 +266,11 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
 
     out = jax.lax.while_loop(cond, body, state)
     h = out["h_all"]
-    return (h[:, :, 0], h[:, :, 1], h[:, :, 2], h[:, :, 3],
-            out["nhits"], out["sums"])
+    res = (h[:, :, 0], h[:, :, 1], h[:, :, 2], h[:, :, 3],
+           out["nhits"], out["sums"])
+    if count_steps:
+        return res + (out["steps"],)
+    return res
 
 
 def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff,

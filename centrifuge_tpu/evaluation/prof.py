@@ -1,0 +1,204 @@
+"""Throughput breakdown profiler for the single-chip pipeline.
+
+Times, under the *same* tunnel conditions in one process:
+  * device search alone (dispatch -> blocking fetch, per batch)
+  * e2e pipelined streaming (what bench.py measures)
+  * the host tail alone (replaying the already-fetched arrays)
+  * lockstep waste (per-lane step counts from the search loop)
+
+Usage:
+    python -m centrifuge_tpu.evaluation.prof [--index BASE] [--reads FQ]
+        [--batches N] [--wide] [--no-steps]
+"""
+import argparse
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+FIXDIR = os.path.join(REPO, "tests", "fixtures", "synth")
+BATCH = 8192
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", default=os.path.join(FIXDIR, "synth"))
+    ap.add_argument("--reads", default=None)
+    ap.add_argument("--batches", type=int, default=3)
+    ap.add_argument("--no-steps", action="store_true",
+                    help="skip the step-count kernel (extra compile)")
+    ap.add_argument("--no-host-resolve", action="store_true")
+    args = ap.parse_args(argv)
+
+    from centrifuge_tpu.classify.pipeline import PipelineConfig
+    from centrifuge_tpu.classify.tpu_pipeline import TPUClassificationPipeline
+    from centrifuge_tpu.index.cf_io import load_cf_index
+    from centrifuge_tpu.io.fastx import read_batch
+
+    idx = load_cf_index(args.index)
+    if idx.bwt_len >= (1 << 31):
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
+    if args.reads is None:
+        from centrifuge_tpu.evaluation.simulate import SimConfig, simulate
+        sim_prefix = "/tmp/cftpu_bench_sim"
+        if not os.path.exists(sim_prefix + ".fq"):
+            simulate(os.path.join(FIXDIR, "db.fa"),
+                     os.path.join(FIXDIR, "conv.dmp"), sim_prefix,
+                     SimConfig(num_fragments=3 * BATCH, read_length=150,
+                               error_rate=0.002, seed=42))
+        args.reads = sim_prefix + ".fq"
+    reads = read_batch([args.reads])
+    n = min(len(reads), args.batches * BATCH)
+    n = (n // BATCH) * BATCH
+    reads = reads[:n]
+    print(f"{n} reads, index bwt_len={idx.bwt_len}", flush=True)
+
+    cfg = PipelineConfig()
+    if args.no_host_resolve:
+        cfg.host_resolve = False
+    pipe = TPUClassificationPipeline(idx, cfg)
+    pipe.engine.lane_bucket_lo = 2 * BATCH
+    pipe.engine.lmax_lo = 256
+    eng = pipe.engine
+
+    # ---- warmup / compile ----
+    t0 = time.time()
+    for _ in pipe.classify_stream_unpaired([reads[:BATCH]]):
+        pass
+    print(f"warmup+compile: {time.time()-t0:.1f}s", flush=True)
+    print(f"host_resolve={pipe.resolver.__class__.__name__} "
+          f"presolve={pipe.presolve}", flush=True)
+
+    # ---- device search alone: dispatch -> block, serialized ----
+    dev_times = []
+    for b in range(args.batches):
+        recs = reads[b * BATCH: (b + 1) * BATCH]
+        units = pipe._prep_unpaired(recs)
+        lane_seqs = []
+        for unit in units:
+            for fw, rc in unit:
+                lane_seqs.append(fw)
+                lane_seqs.append(rc)
+        t0 = time.perf_counter()
+        h = eng.search_async(lane_seqs, presolve=pipe.presolve,
+                             khits=cfg.classifier.khits,
+                             ihits=pipe.classifier.ihits)
+        eng.search_collect(h, len(lane_seqs))
+        dev_times.append(time.perf_counter() - t0)
+    print(f"device search+fetch/batch: "
+          f"{statistics.median(dev_times)*1e3:.0f} ms "
+          f"(runs: {[f'{t*1e3:.0f}' for t in dev_times]})", flush=True)
+
+    # dispatch-only (upload+launch) latency
+    t0 = time.perf_counter()
+    h = eng.search_async(lane_seqs, presolve=pipe.presolve,
+                         khits=cfg.classifier.khits,
+                         ihits=pipe.classifier.ihits)
+    disp = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    arrays, prefetch = eng.search_collect(h, len(lane_seqs))
+    blockt = time.perf_counter() - t0
+    print(f"dispatch {disp*1e3:.0f} ms + block {blockt*1e3:.0f} ms",
+          flush=True)
+
+    # ---- host tail alone: replay collected arrays ----
+    recs = reads[-BATCH:]
+    units = pipe._prep_unpaired(recs)
+    lane_map = []
+    lane_seqs = []
+    for ui, unit in enumerate(units):
+        for mi, (fw, rc) in enumerate(unit):
+            lane_seqs.append(fw)
+            lane_map.append((ui, mi, 0))
+            lane_seqs.append(rc)
+            lane_map.append((ui, mi, 1))
+    from centrifuge_tpu.utils.rng import gen_read_seeds_batch
+    seeds = gen_read_seeds_batch(recs, cfg.seed)
+    host_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pipe._flat_seed_spm()
+        rows, unit_nres, secbest = pipe.native.process_rows(
+            arrays, lane_map, lane_seqs, units, [False] * len(units),
+            seeds, eng, pipe.resolver, [r.name for r in recs],
+            [len(r.seq) for r in recs], pipe.metrics, prefetch=prefetch)
+        host_times.append(time.perf_counter() - t0)
+    print(f"host tail/batch: {statistics.median(host_times)*1e3:.0f} ms "
+          f"(runs: {[f'{t*1e3:.0f}' for t in host_times]})", flush=True)
+    # prep cost (revcomp+pack happens before dispatch)
+    t0 = time.perf_counter()
+    units = pipe._prep_unpaired(recs)
+    rseq, lengths = eng.pack(lane_seqs, 256, 2 * BATCH)
+    tr = eng.transport(rseq)
+    prep = time.perf_counter() - t0
+    print(f"host prep (revcomp+pack+transport)/batch: {prep*1e3:.0f} ms",
+          flush=True)
+
+    # ---- e2e pipelined, as bench.py ----
+    e2e = []
+    for _ in range(3):
+        p2 = TPUClassificationPipeline(idx, cfg, dfm=pipe.dfm)
+        p2.engine.lane_bucket_lo = 2 * BATCH
+        p2.engine.lmax_lo = 256
+        t0 = time.perf_counter()
+        for _ in p2.classify_stream_unpaired(
+                reads[i: i + BATCH] for i in range(0, n, BATCH)):
+            pass
+        e2e.append(n / (time.perf_counter() - t0))
+    print(f"e2e: {statistics.median(e2e):.0f} reads/s "
+          f"(runs: {[f'{x:.0f}' for x in e2e]})", flush=True)
+    m = p2.metrics
+    print(f"collect_wait {m.collect_wait_secs:.2f}s over {m.batches} "
+          f"batches; upload {m.upload_bytes/1e6:.1f} MB download "
+          f"{m.download_bytes/1e6:.1f} MB; resolve_rows {m.resolve_rows}; "
+          f"ext {m.ext_searches} searches/{m.ext_lanes} lanes", flush=True)
+
+    # ---- lockstep waste: per-lane step counts ----
+    if not args.no_steps:
+        import jax.numpy as jnp
+        from centrifuge_tpu.classify.engine import (direct_kernels,
+                                                    search_loop)
+        import jax
+        fm = eng.fm
+        recs = reads[:BATCH]
+        units = pipe._prep_unpaired(recs)
+        lane_seqs = []
+        for unit in units:
+            for fw, rc in unit:
+                lane_seqs.append(fw)
+                lane_seqs.append(rc)
+        rseq, lengths = eng.pack(lane_seqs, 256, 2 * BATCH)
+
+        @jax.jit
+        def run(rseq, lengths, start):
+            kern = direct_kernels(fm.blocks, fm.fchr, fm.ftab_tb,
+                                  jnp.asarray(fm.zoff, fm.row_dtype),
+                                  fm.nblk)
+            out = search_loop(kern, rseq.astype(jnp.int32), lengths, start,
+                              eng.min_hitlen, eng.increment, 16, False,
+                              count_steps=True)
+            return out[6]
+        t0 = time.time()
+        steps = np.asarray(run(jnp.asarray(rseq), jnp.asarray(lengths),
+                               jnp.zeros(2 * BATCH, np.int32)))
+        print(f"steps kernel: {time.time()-t0:.1f}s", flush=True)
+        live = steps[np.array([len(s) for s in lane_seqs] +
+                              [0] * (2 * BATCH - len(lane_seqs))) > 0]
+        mx = live.max()
+        print(f"lockstep: mean {live.mean():.1f} max {mx} "
+              f"waste {mx/live.mean():.2f}x", flush=True)
+        # survivor curve: fraction of lanes still active at step t
+        for frac in (0.5, 0.25, 0.125, 0.0625, 1 / 64, 1 / 256):
+            t = int(np.quantile(live, 1 - frac))
+            print(f"  {frac*100:5.1f}% lanes still active at step {t} "
+                  f"({t/mx*100:.0f}% of max)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
