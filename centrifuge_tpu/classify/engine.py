@@ -345,7 +345,13 @@ def _pack_search_outputs(h_top, h_bot, h_off, h_len, nhits, sums, idt,
     into 32-bit low words + packed 4-bit high nibbles, biased +1 so the
     -1 empty sentinel round-trips -> (L, 3*mh + mh/4 + 1) int32, ~2.4x
     fewer bytes than the plain int64 dump.
+    compact=3/4 (narrow/wide hit pool): only occupied slots cross the
+    link (_pack_pool_outputs).
     Otherwise (L, 4*mh+2) in the row dtype."""
+    if compact in (3, 4):
+        return _pack_pool_outputs(h_top, h_bot, h_off, h_len, nhits, sums,
+                                  POOL_SLOTS_PER_LANE * h_top.shape[0],
+                                  wide=compact == 4)
     if compact == 1:
         offlen = ((h_off.astype(jnp.int32) << 16)
                   | h_len.astype(jnp.int32))
@@ -374,6 +380,106 @@ def _pack_search_outputs(h_top, h_bot, h_off, h_len, nhits, sums, idt,
     return jnp.concatenate(
         [h_top, h_bot, h_off, h_len,
          nhits.astype(idt)[:, None], sums.astype(idt)[:, None]], axis=1)
+
+
+POOL_SLOTS_PER_LANE = 10   # hit-pool budget (measured mean ~7.1/lane:
+                           # rc/junk strands emit ~9-13 short hits)
+
+
+def _pack_pool_outputs(h_top, h_bot, h_off, h_len, nhits, sums, budget,
+                       wide: bool):
+    """Dense hit-pool transport: only occupied hit slots cross the link.
+
+    The fixed (L, max_hits) buffers are ~55% empty on real workloads, and
+    the device->host link is the e2e bottleneck (tunnel ~17 MB/s), so the
+    device compacts hits into a (budget, words) pool with a monotone
+    searchsorted+gather (scatter-free). Layout per hit: [top, bot,
+    off<<16|len] int32; wide adds packed 4-bit high words (bwt_len+1 <
+    2^36) for 4 consecutive pool slots. Tail: (L,) int32 nhits<<16|sums.
+    Lanes whose hits fall beyond `budget` are detected host-side from the
+    tail counts and re-fetched (engine._handle_overflow), so truncation
+    is a fallback, never a semantic change.
+    """
+    import jax.lax as lax
+    L, mh = h_top.shape
+    nh = jnp.minimum(nhits, mh)
+    cum = jnp.cumsum(nh)
+    j = jnp.arange(budget, dtype=jnp.int32)
+    lane = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    lane_c = jnp.minimum(lane, L - 1)
+    slot = j - (cum[lane_c] - nh[lane_c])
+    valid = lane < L
+    flat = lane_c * mh + jnp.clip(slot, 0, mh - 1)
+    top = jnp.where(valid, h_top.reshape(-1)[flat], jnp.asarray(-1, h_top.dtype))
+    bot = jnp.where(valid, h_bot.reshape(-1)[flat], jnp.asarray(-1, h_top.dtype))
+    off = jnp.where(valid, h_off.reshape(-1)[flat], 0).astype(jnp.int32)
+    ln = jnp.where(valid, h_len.reshape(-1)[flat], 0).astype(jnp.int32)
+    offlen = (off << 16) | ln
+    tail = ((nhits << 16) | sums).astype(jnp.int32)
+    if not wide:
+        pool = jnp.stack([top.astype(jnp.int32), bot.astype(jnp.int32),
+                          offlen], axis=1).reshape(-1)
+        return jnp.concatenate([pool, tail])
+    tp = (top + 1).astype(jnp.uint64)
+    bp = (bot + 1).astype(jnp.uint64)
+    t_lo = lax.bitcast_convert_type((tp & 0xFFFFFFFF).astype(jnp.uint32),
+                                    jnp.int32)
+    b_lo = lax.bitcast_convert_type((bp & 0xFFFFFFFF).astype(jnp.uint32),
+                                    jnp.int32)
+    nib = ((tp >> 32) | ((bp >> 32) << 4)).astype(jnp.uint32)
+    n4 = nib.reshape(budget // 4, 4)
+    nwords = lax.bitcast_convert_type(
+        n4[:, 0] | (n4[:, 1] << 8) | (n4[:, 2] << 16) | (n4[:, 3] << 24),
+        jnp.int32)
+    pool = jnp.stack([t_lo, b_lo, offlen], axis=1).reshape(-1)
+    return jnp.concatenate([pool, nwords, tail])
+
+
+def _unpack_pool_outputs(packed: np.ndarray, L: int, mh: int, budget: int,
+                         wide: bool):
+    """Host inverse of _pack_pool_outputs -> the usual 6 (L, mh) arrays.
+
+    Lanes truncated by the pool budget get nhits poisoned to mh+1 so the
+    standard overflow re-run picks them up.
+    """
+    pool = packed[:budget * 3].reshape(budget, 3)
+    tail = packed[-L:]
+    nhits = ((tail >> 16) & 0xFFFF).astype(np.int32)
+    sums = (tail & 0xFFFF).astype(np.int32)
+    nh = np.minimum(nhits, mh)
+    cum = np.cumsum(nh)
+    doffs = cum - nh
+    total = int(cum[-1]) if L else 0
+    dt = np.int64 if wide else np.int32
+    h_top = np.full((L, mh), -1, dt)
+    h_bot = np.full((L, mh), -1, dt)
+    h_off = np.zeros((L, mh), np.int32)
+    h_len = np.zeros((L, mh), np.int32)
+    ncov = min(total, budget)
+    if ncov:
+        lanes = np.repeat(np.arange(L, dtype=np.int64), nh)[:ncov]
+        slots = (np.arange(ncov, dtype=np.int64) - doffs[lanes])
+        if wide:
+            t_lo = np.ascontiguousarray(pool[:ncov, 0]).view(np.uint32)
+            b_lo = np.ascontiguousarray(pool[:ncov, 1]).view(np.uint32)
+            nib = np.ascontiguousarray(
+                packed[budget * 3: budget * 3 + budget // 4]).view(
+                    np.uint8)[:ncov]
+            top = ((nib.astype(np.int64) & 15) << 32 | t_lo) - 1
+            bot = ((nib.astype(np.int64) >> 4) << 32 | b_lo) - 1
+        else:
+            top = pool[:ncov, 0]
+            bot = pool[:ncov, 1]
+        h_top[lanes, slots] = top
+        h_bot[lanes, slots] = bot
+        h_off[lanes, slots] = (pool[:ncov, 2] >> 16) & 0xFFFF
+        h_len[lanes, slots] = pool[:ncov, 2] & 0xFFFF
+    if total > budget:
+        # hits beyond the pool: force the overflow path for those lanes
+        trunc = doffs + nh > budget
+        nhits = np.where(trunc, np.maximum(nhits, mh + 1),
+                         nhits).astype(np.int32)
+    return [h_top, h_bot, h_off, h_len, nhits, sums]
 
 
 def _unpack_search_outputs(packed: np.ndarray, mh: int, compact: int):
@@ -615,6 +721,9 @@ class BatchSearchEngine:
         # tables above this block count get the two-phase resolve walk
         # (lockstep tail is HBM-latency-bound on multi-GB tables)
         self.presolve_phase1_nblk = 1 << 16
+        # dense hit-pool transport kicks in at this lane count (the
+        # compaction gather isn't worth it for tiny batches)
+        self.pool_min_lanes = 1024
 
     def pack(self, seqs: List[np.ndarray], lmax: int,
              nlanes: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -636,17 +745,22 @@ class BatchSearchEngine:
                 rseq[rows, lens[rows] - 1 - col] = allseq
         return rseq, lengths
 
-    def _compact_ok(self, lmax: int, mh: int = 16) -> int:
+    def _compact_ok(self, lmax: int, mh: int = 16, pool: bool = False) -> int:
         # the compact output packing needs off/len/nhits/sums to fit
         # 16-bit fields (mode 1, int32 rows) -- or, on the wide path,
-        # rows+1 to fit 36 bits with mh divisible by 4 (mode 2)
+        # rows+1 to fit 36 bits with mh divisible by 4 (mode 2).
+        # pool=True requests the dense hit-pool transport (modes 3/4):
+        # the (L, mh) buffers are ~55% empty on real workloads and the
+        # download link is the bottleneck.
         if lmax >= 16384:
             return 0
         if not self.fm.wide:
-            return 1
-        if mh % 4 == 0 and self.fm.bwt_len + 1 < (1 << 36):
-            return 2
-        return 0
+            return 3 if pool else 1
+        if self.fm.bwt_len + 1 >= (1 << 36):
+            return 0
+        if pool:
+            return 4
+        return 2 if mh % 4 == 0 else 0
 
     @staticmethod
     def transport(rseq: np.ndarray) -> np.ndarray:
@@ -655,18 +769,47 @@ class BatchSearchEngine:
         return (((rseq[:, 0::2].astype(np.uint8)) & 15)
                 | (rseq[:, 1::2].astype(np.uint8) << 4))
 
-    def _run(self, rseq, lengths, start, max_hits, first_hit_only):
-        compact = self._compact_ok(rseq.shape[1], max_hits)
-        self.stats["upload_bytes"] += rseq.nbytes // 2 + lengths.nbytes
+    def pack_transport(self, seqs: List[np.ndarray], lmax: int,
+                       nlanes: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Transport-packed lane matrix straight from the read codes.
+
+        The native packer (native/pack.cpp) fuses the reversed-lane
+        scatter and the 2-codes-per-byte packing in one threaded pass
+        (~2 ms vs ~60 ms for the numpy pack+transport pair at 16k
+        lanes); numpy remains the fallback."""
+        fc = self.fm.ftab_chars
+        row_bytes = (lmax + fc + 1) // 2
+        lengths = np.zeros(nlanes, dtype=np.int32)
+        if seqs:
+            from ..native.pack import pack_reads
+            lens = np.fromiter((len(x) for x in seqs), np.int32, len(seqs))
+            lengths[: len(seqs)] = lens
+            packed = pack_reads(seqs, lens, nlanes, row_bytes)
+            if packed is not None:
+                return packed, lengths
+        rseq, lengths = self.pack(seqs, lmax, nlanes)
+        return self.transport(rseq), lengths
+
+    def _run(self, rseqp, lengths, start, max_hits, first_hit_only,
+             pool: bool = False):
+        """rseqp: transport-packed lane matrix (pack_transport)."""
+        nlanes = rseqp.shape[0]
+        compact = self._compact_ok(2 * rseqp.shape[1], max_hits,
+                                   pool=pool and nlanes >= self.pool_min_lanes)
+        self.stats["upload_bytes"] += rseqp.nbytes + lengths.nbytes
         packed = np.asarray(batched_search_packed(
             self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
             jnp.asarray(self.fm.zoff, self.fm.row_dtype),
-            jnp.asarray(self.transport(rseq)), jnp.asarray(lengths),
+            jnp.asarray(rseqp), jnp.asarray(lengths),
             jnp.asarray(start), min_hitlen=self.min_hitlen,
             increment=self.increment, max_hits=max_hits,
             first_hit_only=first_hit_only, nblk=self.fm.nblk,
             compact=compact, packed_input=True))
         self.stats["download_bytes"] += packed.nbytes
+        if compact in (3, 4):
+            return _unpack_pool_outputs(
+                packed, nlanes, max_hits, POOL_SLOTS_PER_LANE * nlanes,
+                wide=compact == 4)
         return _unpack_search_outputs(packed, max_hits, compact)
 
     def search_async(self, seqs: List[np.ndarray], presolve: bool = False,
@@ -683,12 +826,12 @@ class BatchSearchEngine:
         lmax = _bucket(max((len(s) for s in seqs), default=1),
                        lo=self.lmax_lo)
         nlanes = _bucket(L, lo=self.lane_bucket_lo)
-        rseq, lengths = self.pack(seqs, lmax, nlanes)
+        rseqp, lengths = self.pack_transport(seqs, lmax, nlanes)
         start = np.zeros(nlanes, dtype=np.int32)
         mh = min(self.FIRST_MAX_HITS, lmax)
         common = (self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
                   jnp.asarray(self.fm.zoff, self.fm.row_dtype))
-        compact = self._compact_ok(rseq.shape[1], mh)
+        compact = self._compact_ok(2 * rseqp.shape[1], mh)
         if presolve:
             fm = self.fm
             rk = 16 if khits <= 5 else min(128, 4 * khits)
@@ -697,7 +840,7 @@ class BatchSearchEngine:
             phase1 = 48 if fm.nblk > self.presolve_phase1_nblk else None
             out = batched_search_presolve(
                 *common, fm.offs, fm.boundary_rows, fm.boundary_refs,
-                jnp.asarray(self.transport(rseq)), jnp.asarray(lengths),
+                jnp.asarray(rseqp), jnp.asarray(lengths),
                 jnp.asarray(start),
                 min_hitlen=self.min_hitlen, increment=self.increment,
                 max_hits=mh, nblk=fm.nblk, khits=khits, ihits=ihits, rk=rk,
@@ -707,30 +850,37 @@ class BatchSearchEngine:
                 packed_input=True, phase1_steps=phase1)
             packed, pre = out[0], out[1:]
             _start_host_copy(packed, *pre)
-            self.stats["upload_bytes"] += rseq.nbytes // 2 + lengths.nbytes
+            self.stats["upload_bytes"] += rseqp.nbytes + lengths.nbytes
             self.stats["download_bytes"] += (packed.nbytes
                                              + sum(a.nbytes for a in pre))
-            return (packed, rseq, lengths, mh, lmax, nlanes, compact,
+            return (packed, rseqp, lengths, mh, lmax, nlanes, compact,
                     pre)
+        compact = self._compact_ok(2 * rseqp.shape[1], mh,
+                                   pool=nlanes >= self.pool_min_lanes)
         packed = batched_search_packed(
             *common,
-            jnp.asarray(self.transport(rseq)), jnp.asarray(lengths),
+            jnp.asarray(rseqp), jnp.asarray(lengths),
             jnp.asarray(start), min_hitlen=self.min_hitlen,
             increment=self.increment, max_hits=mh, first_hit_only=False,
             nblk=self.fm.nblk, compact=compact, packed_input=True)
         _start_host_copy(packed)
-        self.stats["upload_bytes"] += rseq.nbytes // 2 + lengths.nbytes
+        self.stats["upload_bytes"] += rseqp.nbytes + lengths.nbytes
         self.stats["download_bytes"] += packed.nbytes
-        return (packed, rseq, lengths, mh, lmax, nlanes, compact, None)
+        return (packed, rseqp, lengths, mh, lmax, nlanes, compact, None)
 
     def search_collect(self, handle, L: int):
         """Block on a search_async handle; returns (arrays, prefetch):
         arrays = [h_top, h_bot, h_off, h_len, nhits, sums] per lane and
         prefetch = (rows_sorted, tidx_sorted) when the dispatch had
         presolve=True, else None."""
-        packed, rseq, lengths, mh, lmax, nlanes, compact, pre = handle
-        out = _unpack_search_outputs(np.asarray(packed), mh, compact)
-        out = self._handle_overflow(out, rseq, lengths, mh, lmax, nlanes)
+        packed, rseqp, lengths, mh, lmax, nlanes, compact, pre = handle
+        if compact in (3, 4):
+            out = _unpack_pool_outputs(
+                np.asarray(packed), nlanes, mh,
+                POOL_SLOTS_PER_LANE * nlanes, wide=compact == 4)
+        else:
+            out = _unpack_search_outputs(np.asarray(packed), mh, compact)
+        out = self._handle_overflow(out, rseqp, lengths, mh, lmax, nlanes)
         out = [a[:L] for a in out]
         prefetch = None
         if pre is not None:
@@ -755,14 +905,14 @@ class BatchSearchEngine:
         lmax = _bucket(max((len(s) for s in seqs), default=1),
                        lo=self.lmax_lo)
         nlanes = _bucket(L, lo=self.lane_bucket_lo)
-        rseq, lengths = self.pack(seqs, lmax, nlanes)
+        rseqp, lengths = self.pack_transport(seqs, lmax, nlanes)
         start = np.zeros(nlanes, dtype=np.int32)
         mh = min(self.FIRST_MAX_HITS, lmax)
-        out = self._run(rseq, lengths, start, mh, False)
-        out = self._handle_overflow(out, rseq, lengths, mh, lmax, nlanes)
+        out = self._run(rseqp, lengths, start, mh, False, pool=True)
+        out = self._handle_overflow(out, rseqp, lengths, mh, lmax, nlanes)
         return [a[:L] for a in out]
 
-    def _handle_overflow(self, out, rseq, lengths, mh, lmax, nlanes):
+    def _handle_overflow(self, out, rseqp, lengths, mh, lmax, nlanes):
         over = np.nonzero(out[4] > mh)[0]
         if over.shape[0]:
             # rare: a lane emitted more hits than the small buffer holds.
@@ -771,8 +921,8 @@ class BatchSearchEngine:
             # here and the C++ tail's per-slot loops downstream).
             nover = _bucket(over.shape[0], lo=32)
             mh2 = min(_bucket(int(out[4].max()), lo=2 * mh), lmax)
-            rseq2 = np.zeros((nover, rseq.shape[1]), dtype=rseq.dtype)
-            rseq2[: over.shape[0]] = rseq[over]
+            rseq2 = np.zeros((nover, rseqp.shape[1]), dtype=rseqp.dtype)
+            rseq2[: over.shape[0]] = rseqp[over]
             lengths2 = np.zeros(nover, dtype=np.int32)
             lengths2[: over.shape[0]] = lengths[over]
             full = self._run(rseq2, lengths2,
@@ -805,10 +955,10 @@ class BatchSearchEngine:
         outs = []
         for c0 in range(0, L, chunk):
             part = seqs[c0: c0 + chunk]
-            rseq, lengths = self.pack(part, lmax, chunk)
+            rseqp, lengths = self.pack_transport(part, lmax, chunk)
             start = np.zeros(chunk, dtype=np.int32)
             start[: len(part)] = offsets[c0: c0 + chunk].astype(np.int32)
-            out = self._run(rseq, lengths, start, 1, True)
+            out = self._run(rseqp, lengths, start, 1, True)
             outs.append([a[: len(part)] for a in out])
         if len(outs) == 1:
             return outs[0]

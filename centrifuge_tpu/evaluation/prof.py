@@ -134,8 +134,7 @@ def main(argv=None):
     # prep cost (revcomp+pack happens before dispatch)
     t0 = time.perf_counter()
     units = pipe._prep_unpaired(recs)
-    rseq, lengths = eng.pack(lane_seqs, 256, 2 * BATCH)
-    tr = eng.transport(rseq)
+    rseqp, lengths = eng.pack_transport(lane_seqs, 256, 2 * BATCH)
     prep = time.perf_counter() - t0
     print(f"host prep (revcomp+pack+transport)/batch: {prep*1e3:.0f} ms",
           flush=True)
@@ -174,6 +173,7 @@ def main(argv=None):
                 lane_seqs.append(fw)
                 lane_seqs.append(rc)
         rseq, lengths = eng.pack(lane_seqs, 256, 2 * BATCH)
+        rseq = rseq.astype(np.int32)
 
         @jax.jit
         def run(rseq, lengths, start):

@@ -159,3 +159,64 @@ def test_engine_forced_two_phase_parity():
     keep = rows_b >= 0
     got = np.asarray(resolver(rows_b[keep].astype(np.int32)))
     np.testing.assert_array_equal(tidx_b[keep], got[: keep.sum()])
+
+
+def test_pool_transport_parity():
+    """The dense hit-pool transport (engine compact modes 3/4) must give
+    byte-identical per-lane arrays to the plain packed transport,
+    including when the pool budget truncates (all-junk reads emit ~13
+    hits/lane > POOL_SLOTS_PER_LANE, forcing the overflow re-fetch)."""
+    import os
+    from centrifuge_tpu.classify.engine import BatchSearchEngine
+    from centrifuge_tpu.index.cf_io import load_cf_index
+    from centrifuge_tpu.io.fastx import read_batch
+    from centrifuge_tpu.ops.fm_jax import DeviceFMIndex
+
+    fx = os.path.join(os.path.dirname(__file__), "fixtures", "synth")
+    idx = load_cf_index(os.path.join(fx, "synth"))
+    fm = DeviceFMIndex.build(idx)
+    reads = read_batch([os.path.join(fx, "reads.fq")])[:32]
+    seqs = []
+    for r in reads:
+        seqs.append(r.seq)
+        seqs.append(r.revcomp())
+    # junk tail: random 150bp reads emit ~13 hits/lane (restart every ~10
+    # chars) > POOL_SLOTS_PER_LANE, so with a full power-of-two lane count
+    # (no padding slack in the budget) the pool truncates
+    rng = np.random.default_rng(3)
+    seqs += [rng.integers(0, 4, 150).astype(np.uint8)
+             for _ in range(1024 - len(seqs))]
+
+    plain = BatchSearchEngine(fm)
+    plain.pool_min_lanes = 1 << 30      # never pool
+    pooled = BatchSearchEngine(fm)
+    pooled.pool_min_lanes = 1           # always pool
+    a = plain.search(seqs)
+    b = pooled.search(seqs)
+    # the workload must actually exceed the pool budget, or the
+    # truncation/re-fetch path wasn't exercised
+    from centrifuge_tpu.classify.engine import POOL_SLOTS_PER_LANE, _bucket
+    total = int(np.minimum(np.asarray(a[4]), 16).sum())
+    assert total > POOL_SLOTS_PER_LANE * _bucket(len(seqs))
+
+    def check(a, b):
+        # truncation re-fetches can widen the hit buffers (junk columns
+        # beyond a lane's nhits are never read); compare the slots the
+        # consumer actually reads (_states_from_arrays)
+        np.testing.assert_array_equal(np.asarray(a[4]), np.asarray(b[4]))
+        np.testing.assert_array_equal(np.asarray(a[5]), np.asarray(b[5]))
+        nh = np.asarray(a[4])
+        for k in range(4):
+            x, y = np.asarray(a[k]), np.asarray(b[k])
+            w = min(x.shape[1], y.shape[1])
+            valid = np.arange(w)[None, :] < nh[:, None]
+            np.testing.assert_array_equal(
+                np.where(valid, x[:, :w], 0), np.where(valid, y[:, :w], 0))
+            # nothing a consumer reads may live beyond the shared width
+            assert (nh <= w).all()
+
+    check(a, b)
+    # the async path (what the pipeline uses) must agree too
+    h = pooled.search_async(seqs, presolve=False)
+    c, _ = pooled.search_collect(h, len(seqs))
+    check(a, c)

@@ -161,3 +161,24 @@ def test_host_resolve_pipeline_matches_presolve(synth_index, synth_reads):
     rows_h = ph.classify_batch_unpaired(synth_reads[:600])
     rows_d = pd.classify_batch_unpaired(synth_reads[:600])
     assert rows_h == rows_d
+
+
+def test_native_pack_transport_matches_numpy():
+    """native/pack.cpp must produce the exact transport bytes the numpy
+    pack+transport pair produces (incl. N codes, odd lengths, padding
+    lanes)."""
+    import numpy as np
+    from centrifuge_tpu.classify.engine import BatchSearchEngine
+    from centrifuge_tpu.index.cf_io import load_cf_index
+    from centrifuge_tpu.ops.fm_jax import DeviceFMIndex
+    from conftest import fixture_path
+    idx = load_cf_index(fixture_path("synth", "synth"))
+    eng = BatchSearchEngine(DeviceFMIndex.build(idx))
+    rng = np.random.default_rng(0)
+    seqs = [rng.integers(0, 5, int(rng.integers(1, 300))).astype(np.uint8)
+            for _ in range(777)]
+    ref = eng.transport(eng.pack(seqs, 512, 1024)[0])
+    got, lens = eng.pack_transport(seqs, 512, 1024)
+    np.testing.assert_array_equal(ref, got)
+    np.testing.assert_array_equal(
+        lens[:777], np.array([len(s) for s in seqs], np.int32))
