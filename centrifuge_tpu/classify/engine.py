@@ -348,10 +348,10 @@ def _pack_search_outputs(h_top, h_bot, h_off, h_len, nhits, sums, idt,
     compact=3/4 (narrow/wide hit pool): only occupied slots cross the
     link (_pack_pool_outputs).
     Otherwise (L, 4*mh+2) in the row dtype."""
-    if compact in (3, 4):
+    if compact in (3, 4, 5):
         return _pack_pool_outputs(h_top, h_bot, h_off, h_len, nhits, sums,
                                   POOL_SLOTS_PER_LANE * h_top.shape[0],
-                                  wide=compact == 4)
+                                  mode=compact)
     if compact == 1:
         offlen = ((h_off.astype(jnp.int32) << 16)
                   | h_len.astype(jnp.int32))
@@ -387,18 +387,23 @@ POOL_SLOTS_PER_LANE = 10   # hit-pool budget (measured mean ~7.1/lane:
 
 
 def _pack_pool_outputs(h_top, h_bot, h_off, h_len, nhits, sums, budget,
-                       wide: bool):
+                       mode: int):
     """Dense hit-pool transport: only occupied hit slots cross the link.
 
     The fixed (L, max_hits) buffers are ~55% empty on real workloads, and
     the device->host link is the e2e bottleneck (tunnel ~17 MB/s), so the
     device compacts hits into a (budget, words) pool with a monotone
-    searchsorted+gather (scatter-free). Layout per hit: [top, bot,
-    off<<16|len] int32; wide adds packed 4-bit high words (bwt_len+1 <
-    2^36) for 4 consecutive pool slots. Tail: (L,) int32 nhits<<16|sums.
-    Lanes whose hits fall beyond `budget` are detected host-side from the
-    tail counts and re-fetched (engine._handle_overflow), so truncation
-    is a fallback, never a semantic change.
+    searchsorted+gather (scatter-free). Layouts per hit:
+      mode 3 (narrow): [top, bot, off<<16|len] int32
+      mode 4 (wide, bwt_len+1 < 2^36): mode 3 low words + packed 4-bit
+        high words for 4 consecutive pool slots
+      mode 5 (narrow, reads <= 256 bp): [top, size<<18|off<<9|len] --
+        8 B/hit; sizes >= 2^14-1 saturate, which the host detects and
+        serves through the overflow re-fetch (exact, just slower)
+    Tail: (L,) int32 nhits<<16|sums. Lanes whose hits fall beyond
+    `budget` are detected host-side from the tail counts and re-fetched
+    (engine._handle_overflow), so truncation is a fallback, never a
+    semantic change.
     """
     import jax.lax as lax
     L, mh = h_top.shape
@@ -414,9 +419,16 @@ def _pack_pool_outputs(h_top, h_bot, h_off, h_len, nhits, sums, budget,
     bot = jnp.where(valid, h_bot.reshape(-1)[flat], jnp.asarray(-1, h_top.dtype))
     off = jnp.where(valid, h_off.reshape(-1)[flat], 0).astype(jnp.int32)
     ln = jnp.where(valid, h_len.reshape(-1)[flat], 0).astype(jnp.int32)
-    offlen = (off << 16) | ln
     tail = ((nhits << 16) | sums).astype(jnp.int32)
-    if not wide:
+    if mode == 5:
+        size = jnp.where(top >= 0, jnp.minimum(bot - top, 16383),
+                         0).astype(jnp.int32)
+        word2 = (size << 18) | (off << 9) | ln
+        pool = jnp.stack([top.astype(jnp.int32), word2],
+                         axis=1).reshape(-1)
+        return jnp.concatenate([pool, tail])
+    offlen = (off << 16) | ln
+    if mode == 3:
         pool = jnp.stack([top.astype(jnp.int32), bot.astype(jnp.int32),
                           offlen], axis=1).reshape(-1)
         return jnp.concatenate([pool, tail])
@@ -436,13 +448,15 @@ def _pack_pool_outputs(h_top, h_bot, h_off, h_len, nhits, sums, budget,
 
 
 def _unpack_pool_outputs(packed: np.ndarray, L: int, mh: int, budget: int,
-                         wide: bool):
+                         mode: int):
     """Host inverse of _pack_pool_outputs -> the usual 6 (L, mh) arrays.
 
-    Lanes truncated by the pool budget get nhits poisoned to mh+1 so the
-    standard overflow re-run picks them up.
+    Lanes truncated by the pool budget (or carrying a mode-5 saturated
+    size) get nhits poisoned past mh so the standard overflow re-run
+    serves them exactly.
     """
-    pool = packed[:budget * 3].reshape(budget, 3)
+    words = 2 if mode == 5 else 3
+    pool = packed[:budget * words].reshape(budget, words)
     tail = packed[-L:]
     nhits = ((tail >> 16) & 0xFFFF).astype(np.int32)
     sums = (tail & 0xFFFF).astype(np.int32)
@@ -450,7 +464,7 @@ def _unpack_pool_outputs(packed: np.ndarray, L: int, mh: int, budget: int,
     cum = np.cumsum(nh)
     doffs = cum - nh
     total = int(cum[-1]) if L else 0
-    dt = np.int64 if wide else np.int32
+    dt = np.int64 if mode == 4 else np.int32
     h_top = np.full((L, mh), -1, dt)
     h_bot = np.full((L, mh), -1, dt)
     h_off = np.zeros((L, mh), np.int32)
@@ -459,7 +473,7 @@ def _unpack_pool_outputs(packed: np.ndarray, L: int, mh: int, budget: int,
     if ncov:
         lanes = np.repeat(np.arange(L, dtype=np.int64), nh)[:ncov]
         slots = (np.arange(ncov, dtype=np.int64) - doffs[lanes])
-        if wide:
+        if mode == 4:
             t_lo = np.ascontiguousarray(pool[:ncov, 0]).view(np.uint32)
             b_lo = np.ascontiguousarray(pool[:ncov, 1]).view(np.uint32)
             nib = np.ascontiguousarray(
@@ -469,11 +483,26 @@ def _unpack_pool_outputs(packed: np.ndarray, L: int, mh: int, budget: int,
             bot = ((nib.astype(np.int64) >> 4) << 32 | b_lo) - 1
         else:
             top = pool[:ncov, 0]
-            bot = pool[:ncov, 1]
+            if mode == 5:
+                w2 = np.ascontiguousarray(pool[:ncov, 1]).view(np.uint32)
+                size = (w2 >> 18).astype(np.int32)
+                bot = np.where(top >= 0, top + size, -1)
+                sat = size == 16383
+                if sat.any():
+                    # exact sizes live beyond 14 bits: re-fetch the lane
+                    bad = np.zeros(L, bool)
+                    bad[lanes[sat]] = True
+                    nhits = np.where(bad, np.maximum(nhits, mh + 1),
+                                     nhits).astype(np.int32)
+                h_off[lanes, slots] = (w2 >> 9) & 511
+                h_len[lanes, slots] = w2 & 511
+            else:
+                bot = pool[:ncov, 1]
         h_top[lanes, slots] = top
         h_bot[lanes, slots] = bot
-        h_off[lanes, slots] = (pool[:ncov, 2] >> 16) & 0xFFFF
-        h_len[lanes, slots] = pool[:ncov, 2] & 0xFFFF
+        if mode != 5:
+            h_off[lanes, slots] = (pool[:ncov, 2] >> 16) & 0xFFFF
+            h_len[lanes, slots] = pool[:ncov, 2] & 0xFFFF
     if total > budget:
         # hits beyond the pool: force the overflow path for those lanes
         trunc = doffs + nh > budget
@@ -755,7 +784,10 @@ class BatchSearchEngine:
         if lmax >= 16384:
             return 0
         if not self.fm.wide:
-            return 3 if pool else 1
+            if pool:
+                # 8 B/hit when off/len fit 9 bits (reads <= ~256 bp)
+                return 5 if lmax <= 266 else 3
+            return 1
         if self.fm.bwt_len + 1 >= (1 << 36):
             return 0
         if pool:
@@ -806,10 +838,10 @@ class BatchSearchEngine:
             first_hit_only=first_hit_only, nblk=self.fm.nblk,
             compact=compact, packed_input=True))
         self.stats["download_bytes"] += packed.nbytes
-        if compact in (3, 4):
+        if compact in (3, 4, 5):
             return _unpack_pool_outputs(
                 packed, nlanes, max_hits, POOL_SLOTS_PER_LANE * nlanes,
-                wide=compact == 4)
+                mode=compact)
         return _unpack_search_outputs(packed, max_hits, compact)
 
     def search_async(self, seqs: List[np.ndarray], presolve: bool = False,
@@ -874,10 +906,10 @@ class BatchSearchEngine:
         prefetch = (rows_sorted, tidx_sorted) when the dispatch had
         presolve=True, else None."""
         packed, rseqp, lengths, mh, lmax, nlanes, compact, pre = handle
-        if compact in (3, 4):
+        if compact in (3, 4, 5):
             out = _unpack_pool_outputs(
                 np.asarray(packed), nlanes, mh,
-                POOL_SLOTS_PER_LANE * nlanes, wide=compact == 4)
+                POOL_SLOTS_PER_LANE * nlanes, mode=compact)
         else:
             out = _unpack_search_outputs(np.asarray(packed), mh, compact)
         out = self._handle_overflow(out, rseqp, lengths, mh, lmax, nlanes)

@@ -321,11 +321,11 @@ class ResultFormatter:
             rows.append("\t".join(vals))
             spm.add(r.tax_id, r.score, r.max_score, r.summed_len, n_results)
             # distinct k-mers only for uniquely-assigned reads
-            # (aln_sink.h:2349-2357); unpaired only -- positions refer to
-            # the chosen strand of the single mate
+            # (aln_sink.h:2349-2357). The reference reads every position
+            # against MATE 1's chosen strand (rd = mate 1 there even for
+            # pairs whose positions came from mate 2) -- mirrored here.
             if (self.cfg.count_kmers and n_results == 1
-                    and not unclassified and rec1 is not None
-                    and rec2 is None):
+                    and not unclassified and rec1 is not None):
                 strand = rec1.seq if r.is_fw else rec1.revcomp()
                 for begin, length in r.read_positions:
                     spm.add_kmers(r.tax_id, strand, begin, length)

@@ -24,6 +24,41 @@ FIXDIR = os.path.join(REPO, "tests", "fixtures", "synth")
 BATCH = 8192
 
 
+def _time_device_only(eng, lane_seqs, batches=3):
+    """Device-compute timing with a scalar (no-download) output: jit the
+    search + a checksum reduction, so the block excludes the link."""
+    import jax
+    import jax.numpy as jnp
+    import time
+    from centrifuge_tpu.classify.engine import (_bucket,
+                                                batched_search_packed)
+    lmax = _bucket(max(len(s) for s in lane_seqs), lo=256)
+    nlanes = _bucket(len(lane_seqs), lo=2 * BATCH)
+    rseqp, lengths = eng.pack_transport(lane_seqs, lmax, nlanes)
+    fm = eng.fm
+
+    @jax.jit
+    def run(rseqp, lengths, start):
+        packed = batched_search_packed(
+            fm.blocks, fm.fchr, fm.ftab_tb,
+            jnp.asarray(fm.zoff, fm.row_dtype), rseqp, lengths, start,
+            min_hitlen=eng.min_hitlen, increment=eng.increment,
+            max_hits=16, first_hit_only=False, nblk=fm.nblk,
+            compact=eng._compact_ok(2 * rseqp.shape[1], 16, pool=True),
+            packed_input=True)
+        return packed.astype(jnp.int32).sum()
+
+    start = jnp.zeros(nlanes, jnp.int32)
+    r, l = jnp.asarray(rseqp), jnp.asarray(lengths)
+    run(r, l, start).block_until_ready()   # compile
+    ts = []
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        run(r, l, start).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", default=os.path.join(FIXDIR, "synth"))
@@ -94,6 +129,10 @@ def main(argv=None):
     print(f"device search+fetch/batch: "
           f"{statistics.median(dev_times)*1e3:.0f} ms "
           f"(runs: {[f'{t*1e3:.0f}' for t in dev_times]})", flush=True)
+
+    # device-compute-only (scalar output, no hit download)
+    dev = _time_device_only(eng, lane_seqs)
+    print(f"device compute only (no download): {dev*1e3:.0f} ms", flush=True)
 
     # dispatch-only (upload+launch) latency
     t0 = time.perf_counter()

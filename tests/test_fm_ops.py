@@ -220,3 +220,35 @@ def test_pool_transport_parity():
     h = pooled.search_async(seqs, presolve=False)
     c, _ = pooled.search_collect(h, len(seqs))
     check(a, c)
+
+
+def test_pool_mode5_size_saturation_poisons_lane():
+    """Mode-5 pool records store hit sizes in 14 bits; a hit with size >=
+    16383 must round-trip as a poisoned lane (nhits > mh) so the engine's
+    overflow re-fetch recovers the exact values."""
+    import jax.numpy as jnp
+    from centrifuge_tpu.classify.engine import (_pack_pool_outputs,
+                                                _unpack_pool_outputs)
+    L, mh = 4, 16
+    h_top = np.full((L, mh), -1, np.int32)
+    h_bot = np.full((L, mh), -1, np.int32)
+    h_off = np.zeros((L, mh), np.int32)
+    h_len = np.zeros((L, mh), np.int32)
+    nhits = np.zeros(L, np.int32)
+    sums = np.zeros(L, np.int32)
+    # lane 0: ordinary hit; lane 2: saturating size
+    h_top[0, 0], h_bot[0, 0], h_off[0, 0], h_len[0, 0] = 100, 104, 3, 25
+    nhits[0] = 1
+    h_top[2, 0], h_bot[2, 0], h_off[2, 0], h_len[2, 0] = 7, 7 + 20000, 0, 30
+    nhits[2] = 1
+    budget = 8
+    packed = np.asarray(_pack_pool_outputs(
+        jnp.asarray(h_top), jnp.asarray(h_bot), jnp.asarray(h_off),
+        jnp.asarray(h_len), jnp.asarray(nhits), jnp.asarray(sums),
+        budget, mode=5))
+    out = _unpack_pool_outputs(packed, L, mh, budget, mode=5)
+    assert out[0][0, 0] == 100 and out[1][0, 0] == 104
+    assert out[2][0, 0] == 3 and out[3][0, 0] == 25
+    assert out[4][0] == 1
+    assert out[4][2] > mh          # poisoned -> overflow re-fetch
+    assert out[0][2, 0] == 7       # top still exact
