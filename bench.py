@@ -43,9 +43,10 @@ TRIALS = 3
 
 
 def _share_shapes(pipe):
-    # both phases run at (16384 lanes, lmax 256): one compile total
+    # both phases run at (16384 lanes, one 32-wide length band):
+    # one compile total (fixture + sim reads are both 150 bp -> 160)
     pipe.engine.lane_bucket_lo = 2 * BATCH
-    pipe.engine.lmax_lo = 256
+    pipe.engine.lmax_lo = 32
 
 
 def main():

@@ -101,6 +101,44 @@ def _pack_read_table(rseq: jax.Array, ftab_chars: int):
     return val.reshape(L * (Pw // 8), 8), Pw // 8
 
 
+def _row_select(tab: jax.Array, col: jax.Array) -> jax.Array:
+    """tab[i, col[i]] as a masked sum: row-aligned per-lane selects are
+    pure elementwise work, which the step ablation measured as ~free,
+    while a flat gather of the same values costs ~300 us/step at 16k
+    lanes (gathers are row-count-bound and dominate the search step)."""
+    idx = jnp.arange(tab.shape[1], dtype=jnp.int32)[None, :]
+    return jnp.where(idx == col[:, None], tab, 0).sum(axis=1,
+                                                      dtype=tab.dtype)
+
+
+def _pack_read_words(rseq: jax.Array):
+    """Pack each lane's codes into 2-bit words + a 1-bit N map.
+
+    words:  uint32 (L, W+1), 16 positions per word (LSB-first), N clipped
+            to code 3 exactly as the ftab window builder does.
+    nwords: uint32 (L, W+1), 16 positions per word, bit j = code>3.
+    The trailing zero column lets window reads at cur>>4 == W-1 fetch
+    word W without bounds checks. Replaces the per-step read-table row
+    gather entirely: the step reads both arrays with _row_select.
+    """
+    L, P = rseq.shape
+    W = (P + 15) // 16
+    r = rseq
+    if W * 16 != P:
+        r = jnp.concatenate(
+            [r, jnp.zeros((L, W * 16 - P), jnp.int32)], axis=1)
+    r = r.reshape(L, W, 16)
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    words = (jnp.clip(r, 0, 3).astype(jnp.uint32) << shifts).sum(
+        axis=2, dtype=jnp.uint32)
+    nsh = jnp.arange(16, dtype=jnp.uint32)[None, None, :]
+    nwords = ((r > 3).astype(jnp.uint32) << nsh).sum(
+        axis=2, dtype=jnp.uint32)
+    pad = jnp.zeros((L, 1), jnp.uint32)
+    return (jnp.concatenate([words, pad], axis=1),
+            jnp.concatenate([nwords, pad], axis=1))
+
+
 def _unpack_rseq(packed):
     """Inverse of the host's 2-bases-per-byte transport packing: uint8
     (L, P/2) -> int32 (L, P). The read matrix crosses the host->device
@@ -111,10 +149,29 @@ def _unpack_rseq(packed):
     return jnp.stack([lo, hi], axis=2).reshape(packed.shape[0], -1)
 
 
+def _unpack_rseq2(packed):
+    """Inverse of the 4-codes-per-byte transport (native cf_pack_reads2,
+    N-free batches only): uint8 (L, P/4) -> int32 (L, P). Another 2x off
+    the dominant host->device upload vs the 4-bit packing."""
+    cols = [((packed >> (2 * k)) & 3).astype(jnp.int32) for k in range(4)]
+    return jnp.stack(cols, axis=2).reshape(packed.shape[0], -1)
+
+
+def _unpack_transport(rseq, packed_input):
+    """packed_input: 0/False = raw int8 codes, 1/True = 4-bit transport,
+    2 = 2-bit transport (N-free)."""
+    if packed_input == 2:
+        return _unpack_rseq2(rseq)
+    if packed_input:
+        return _unpack_rseq(rseq)
+    return rseq.astype(jnp.int32)
+
+
 def search_loop(kern: FMKernels, rseq, lengths, start_cur,
                 min_hitlen: int, increment: int, max_hits: int,
                 first_hit_only: bool, unroll: int = 8,
-                count_steps: bool = False):
+                count_steps: bool = False,
+                segments: tuple = ()):
     """Run the full per-strand greedy scan for every lane.
 
     rseq: (L, Lmax + fc) int32 reversed+padded reads.
@@ -131,7 +188,15 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
     """
     fc = 10  # ftab_chars; geometry fixed by the index format default
     L, P = rseq.shape
-    rtab, Pw8 = _pack_read_table(rseq, fc)
+    # reads up to 2 kbp: per-lane packed code/N words + masked-sum
+    # selects replace the read-table row gather (the gather was ~35% of
+    # the whole search step; the selects are free VPU work). Longer
+    # reads fall back to the gather (the masked sum grows with P).
+    use_words = P <= 2048
+    if use_words:
+        rwords, rnwords = _pack_read_words(rseq)
+    else:
+        rtab, Pw8 = _pack_read_table(rseq, fc)
     lanes = jnp.arange(L, dtype=jnp.int32)
     slot_idx = jnp.arange(max_hits, dtype=jnp.int32)[None, :]
     idt = kern.row_dtype  # int64 on the wide (>2^31 bases) path
@@ -159,24 +224,61 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
     def cond(s):
         return jnp.any(~s["done"])
 
-    def step(s):
+    def step(s, rw=None, rnw=None, nlen=None):
+        # rw/rnw/nlen default to the full-width arrays; the segmented
+        # runner rebinds them to compacted slices (same lane semantics,
+        # fewer rows per step)
+        if nlen is None:
+            nlen = lengths
+        if use_words and rw is None:
+            rw, rnw = rwords, rnwords
         cur, done, mode = s["cur"], s["done"], s["mode"]
-        n = lengths
+        n = nlen
         active = ~done
         starting = active & (mode == 0)
         extending = active & (mode == 1)
 
-        # one positional row gather: starters read [fi, firstn] at cur,
-        # extenders read the char at dep
         dep, top, bot = s["dep"], s["top"], s["bot"]
-        pos = jnp.clip(jnp.where(starting, cur, dep), 0, P - 1)
-        rrow = rtab[lanes * Pw8 + (pos >> 3)]              # (L, 8)
-        v = jnp.where((jnp.arange(8, dtype=jnp.int32)[None, :]
-                       == (pos & 7)[:, None]), rrow, 0).sum(
-                           axis=1, dtype=jnp.int32)
-        c = v & 7
-        fi = v >> 7
-        fN = (v >> 3) & 15
+        if use_words:
+            # gather-free read access: all selects are row-aligned
+            # masked sums over the per-lane packed words
+            posc = jnp.clip(dep, 0, P - 1)
+            wi_c = posc >> 4
+            wsel = _row_select(rw, wi_c)
+            nsel = _row_select(rnw, wi_c)
+            shc = (2 * (posc & 15)).astype(jnp.uint32)
+            c2 = ((wsel >> shc) & 3).astype(jnp.int32)
+            nb = ((nsel >> (posc & 15).astype(jnp.uint32)) & 1)
+            c = jnp.where(nb != 0, jnp.int32(4), c2)
+            # ftab window + first-N at cur (starting lanes)
+            cw = jnp.clip(cur, 0, P - 1)
+            wi = cw >> 4
+            w0 = _row_select(rw, wi)
+            w1 = _row_select(rw, wi + 1)
+            sh = (2 * (cw & 15)).astype(jnp.uint32)
+            hi = jnp.where(sh > 0, w1 << ((32 - sh) & 31), jnp.uint32(0))
+            fi = (((w0 >> sh) | hi) & 0xFFFFF).astype(jnp.int32)
+            n0 = _row_select(rnw, wi)
+            n1 = _row_select(rnw, wi + 1)
+            shn = (cw & 15).astype(jnp.uint32)
+            nhi = jnp.where(shn > 0, n1 << ((16 - shn) & 15),
+                            jnp.uint32(0))
+            nwin = ((n0 >> shn) | nhi) & jnp.uint32(0x3FF)
+            lowbit = nwin & (~nwin + jnp.uint32(1))
+            fN = jnp.where(
+                nwin == 0, jnp.int32(fc),
+                jax.lax.population_count(lowbit - 1).astype(jnp.int32))
+        else:
+            # one positional row gather: starters read [fi, firstn] at
+            # cur, extenders read the char at dep
+            pos = jnp.clip(jnp.where(starting, cur, dep), 0, P - 1)
+            rrow = rtab[lanes * Pw8 + (pos >> 3)]              # (L, 8)
+            v = jnp.where((jnp.arange(8, dtype=jnp.int32)[None, :]
+                           == (pos & 7)[:, None]), rrow, 0).sum(
+                               axis=1, dtype=jnp.int32)
+            c = v & 7
+            fi = v >> 7
+            fN = (v >> 3) & 15
 
         # ---------------- merged device lookup ----------------
         at_end_pre = extending & (dep >= n)
@@ -264,7 +366,83 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
             s = step(s)
         return s
 
-    out = jax.lax.while_loop(cond, body, state)
+    # ---------------- segmented lockstep compaction ----------------
+    # Every per-step gather costs ~rows regardless of which lanes still
+    # need it, and the step-count distribution is wide (mean/max ~0.57 on
+    # 150 bp reads: half the lanes finish by ~45% of max steps). Each
+    # segment (iters, W2) runs `iters` unrolled while_loop iterations at
+    # the current width, then -- IF the survivors fit -- compacts them
+    # into a W2-wide state (monotone searchsorted + gather; scatter-free)
+    # and continues narrow; the fit check is a lax.cond, so an unlucky
+    # batch just keeps the old width (no wrong-capacity cliff). Results
+    # merge back with one row gather per level. Per-lane trajectories are
+    # untouched: lanes are independent, so running them at a different
+    # width is bit-identical.
+    merge_keys = ("h_all", "nhits", "sums") + (
+        ("steps",) if count_steps else ())
+
+    def run_to_done(s, stepfn):
+        def b(st):
+            for _ in range(unroll):
+                st = stepfn(st)
+            return st
+        return jax.lax.while_loop(
+            lambda st: jnp.any(~st["done"]), b, s)
+
+    def run_capped(s, stepfn, iters):
+        def c(carry):
+            return jnp.any(~carry[0]["done"]) & (carry[1] < iters)
+
+        def b(carry):
+            st, it = carry
+            for _ in range(unroll):
+                st = stepfn(st)
+            return (st, it + 1)
+        s, _ = jax.lax.while_loop(c, b, (s, jnp.int32(0)))
+        return s
+
+    def run_level(s, rw, rnw, nlen, segs):
+        W = s["done"].shape[0]
+
+        def stepfn(st):
+            return step(st, rw=rw, rnw=rnw, nlen=nlen)
+
+        segs = tuple((it, w2) for it, w2 in segs if w2 < W)
+        if not segs:
+            return run_to_done(s, stepfn)
+        iters, W2 = segs[0]
+        s = run_capped(s, stepfn, iters)
+        act = ~s["done"]
+        cs = jnp.cumsum(act.astype(jnp.int32))
+        nact = cs[-1]
+
+        def with_compact(s):
+            src = jnp.searchsorted(
+                cs, jnp.arange(1, W2 + 1, dtype=jnp.int32))
+            srcc = jnp.clip(src, 0, W - 1).astype(jnp.int32)
+            valid = jnp.arange(W2, dtype=jnp.int32) < nact
+            s2 = {k: v[srcc] for k, v in s.items()}
+            s2["done"] = s2["done"] | ~valid
+            s2 = run_level(s2, rw[srcc], rnw[srcc], nlen[srcc], segs[1:])
+            # lane i (active at the split) finished in child slot cs[i]-1
+            rank = jnp.clip(cs - 1, 0, W2 - 1)
+            out = dict(s)
+            for k in merge_keys:
+                child = s2[k][rank]
+                m = act.reshape((W,) + (1,) * (s[k].ndim - 1))
+                out[k] = jnp.where(m, child, s[k])
+            out["done"] = jnp.ones_like(s["done"])
+            return out
+
+        def without_compact(s):
+            return run_level(s, rw, rnw, nlen, segs[1:])
+
+        return jax.lax.cond(nact <= W2, with_compact, without_compact, s)
+
+    if segments and use_words:
+        out = run_level(state, rwords, rnwords, lengths, tuple(segments))
+    else:
+        out = jax.lax.while_loop(cond, body, state)
     h = out["h_all"]
     res = (h[:, :, 0], h[:, :, 1], h[:, :, 2], h[:, :, 3],
            out["nhits"], out["sums"])
@@ -295,7 +473,8 @@ def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
         within = (rows & 511).astype(jnp.int32)
         data = fm_blocks[blk]                  # (2B, 36|40): one gather
         r = rank_in_block(data, within, ch2, zoff, rows, word_off)
-        lf = fm_fchr[ch2] + r
+        from ..ops.fm_jax import _fchr_select
+        lf = _fchr_select(fm_fchr, ch2) + r
         word = data[jnp.arange(B), word_off + (within[:B] >> 4)]
         topchar = ((word >> (2 * (within[:B] & 15).astype(jnp.uint32))) & 3
                    ).astype(jnp.int32)
@@ -329,7 +508,7 @@ def batched_search(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                    packed_input: bool = False):
     """Single-chip full scan over all lanes (see search_loop)."""
     kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk)
-    rs = _unpack_rseq(rseq) if packed_input else rseq.astype(jnp.int32)
+    rs = _unpack_transport(rseq, packed_input)
     return search_loop(kern, rs, lengths, start_cur,
                        min_hitlen, increment, max_hits, first_hit_only)
 
@@ -540,21 +719,22 @@ def _unpack_search_outputs(packed: np.ndarray, mh: int, compact: int):
 @functools.partial(jax.jit, static_argnames=("min_hitlen", "increment",
                                              "max_hits", "first_hit_only",
                                              "nblk", "compact",
-                                             "packed_input"))
+                                             "packed_input", "segments"))
 def batched_search_packed(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                           rseq, lengths, start_cur,
                           min_hitlen: int, increment: int, max_hits: int,
                           first_hit_only: bool, nblk: int = None,
                           compact: bool = False,
-                          packed_input: bool = False):
+                          packed_input: bool = False,
+                          segments: tuple = ()):
     """As batched_search, but packs all outputs into ONE array on device
     (see _pack_search_outputs). A single small device->host transfer
     matters when the device sits behind a network tunnel."""
     kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk)
-    rs = _unpack_rseq(rseq) if packed_input else rseq.astype(jnp.int32)
+    rs = _unpack_transport(rseq, packed_input)
     h_top, h_bot, h_off, h_len, nhits, sums = search_loop(
         kern, rs, lengths, start_cur, min_hitlen,
-        increment, max_hits, first_hit_only)
+        increment, max_hits, first_hit_only, segments=segments)
     return _pack_search_outputs(h_top, h_bot, h_off, h_len, nhits, sums,
                                 kern.row_dtype, compact)
 
@@ -644,7 +824,7 @@ def _presolve_pick_rows(h_top, h_bot, h_len, khits: int, ihits: int,
 @functools.partial(jax.jit, static_argnames=(
     "min_hitlen", "increment", "max_hits", "nblk", "khits", "ihits", "rk",
     "sample_mask", "offrate", "has_bounds", "narrow", "max_steps",
-    "compact", "packed_input", "phase1_steps"))
+    "compact", "packed_input", "phase1_steps", "segments"))
 def batched_search_presolve(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                             offs, boundary_rows, boundary_refs,
                             rseq, lengths, start_cur,
@@ -654,7 +834,8 @@ def batched_search_presolve(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                             has_bounds: bool, narrow: bool, max_steps: int,
                             compact: bool = False,
                             packed_input: bool = False,
-                            phase1_steps: int = None):
+                            phase1_steps: int = None,
+                            segments: tuple = ()):
     """Search + speculative SA resolution in ONE dispatch.
 
     Besides the packed hit buffers, returns the predicted rows and their
@@ -663,10 +844,10 @@ def batched_search_presolve(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
     each dispatch has ~50 ms latency on a tunneled device)."""
     from ..ops.fm_jax import resolve_rows_core, resolve_rows_two_phase
     kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk)
-    rs = _unpack_rseq(rseq) if packed_input else rseq.astype(jnp.int32)
+    rs = _unpack_transport(rseq, packed_input)
     h_top, h_bot, h_off, h_len, nhits, sums = search_loop(
         kern, rs, lengths, start_cur, min_hitlen,
-        increment, max_hits, first_hit_only=False)
+        increment, max_hits, first_hit_only=False, segments=segments)
     idt = kern.row_dtype
     rows, nrows = _presolve_pick_rows(h_top, h_bot, h_len, khits, ihits,
                                       min_hitlen, rk, idt)
@@ -722,6 +903,19 @@ def _bucket(n: int, lo: int = 256) -> int:
     return b
 
 
+def _bucket_len(n: int, lo: int = 32) -> int:
+    """Read-length bucket: multiples of 32 up to 512, then powers of two.
+
+    Real FASTQ batches have near-uniform read lengths, so the finer bands
+    stay on one compiled shape while cutting the padded upload bytes and
+    the per-step masked-sum width by ~40% vs the power-of-two bucket
+    (150 bp reads ride a 160-wide lane matrix instead of 256)."""
+    m = max(n, lo)
+    if m <= 512:
+        return (m + 31) // 32 * 32
+    return _bucket(m, lo=512)
+
+
 class BatchSearchEngine:
     """Host wrapper: pack reads -> device search -> PartialHit lists.
 
@@ -753,6 +947,9 @@ class BatchSearchEngine:
         # dense hit-pool transport kicks in at this lane count (the
         # compaction gather isn't worth it for tiny batches)
         self.pool_min_lanes = 1024
+        # lockstep compaction kicks in at this lane count (below it the
+        # extra while_loop compiles cost more than the saved gathers)
+        self.segment_min_lanes = 4096
 
     def pack(self, seqs: List[np.ndarray], lmax: int,
              nlanes: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -794,6 +991,28 @@ class BatchSearchEngine:
             return 4
         return 2 if mh % 4 == 0 else 0
 
+    def _segments(self, nlanes: int, maxlen: int) -> tuple:
+        """Lockstep-compaction schedule for the search while_loop.
+
+        Measured survivor curve (150 bp sim reads): half the lanes finish
+        by ~45% of the max step count, a quarter run to the very end. So
+        run ~0.55*maxlen steps full-width, then compact survivors to half
+        width (search_loop handles the capacity check + merge). maxlen is
+        quantized to 32-position bands so the static schedule doesn't add
+        jit shapes beyond what the lmax bucket already creates."""
+        if nlanes < self.segment_min_lanes:
+            return ()
+        m = ((maxlen + 31) // 32) * 32
+        # measured survivor curve is a CLIFF, not a slope: the fast
+        # strand of each read finishes by ~0.32*len steps (junk strands
+        # restart every ~10 chars), the slow strand runs to ~0.95*len.
+        # Split just past the cliff; capacity 9/16 (not 1/2) so batches
+        # where slightly more than half the lanes are slow (palindromic/
+        # both-strand hits) still take the compact branch.
+        it1 = max(2, int(round(0.32 * m / 8)))
+        w2 = ((nlanes * 9 // 16) + 255) // 256 * 256
+        return ((it1, w2),)
+
     @staticmethod
     def transport(rseq: np.ndarray) -> np.ndarray:
         """2 base codes per byte for the host->device upload (codes are
@@ -822,11 +1041,31 @@ class BatchSearchEngine:
         rseq, lengths = self.pack(seqs, lmax, nlanes)
         return self.transport(rseq), lengths
 
+    def pack_transport2(self, seqs: List[np.ndarray], lmax: int,
+                        nlanes: int):
+        """Like pack_transport, but tries the 2-bit (4 codes/byte)
+        packing first: valid whenever the batch carries no N calls (the
+        common case), halving the dominant host->device upload again.
+        Returns (matrix, lengths, tmode) with tmode 2 (2-bit) or 1
+        (4-bit fallback: Ns present or no native lib)."""
+        fc = self.fm.ftab_chars
+        if seqs:
+            from ..native.pack import pack_reads2
+            lens = np.fromiter((len(x) for x in seqs), np.int32, len(seqs))
+            out = pack_reads2(seqs, lens, nlanes, (lmax + fc + 3) // 4)
+            if out is not None and not out[1]:
+                lengths = np.zeros(nlanes, dtype=np.int32)
+                lengths[: len(seqs)] = lens
+                return out[0], lengths, 2
+        rseqp, lengths = self.pack_transport(seqs, lmax, nlanes)
+        return rseqp, lengths, 1
+
     def _run(self, rseqp, lengths, start, max_hits, first_hit_only,
-             pool: bool = False):
-        """rseqp: transport-packed lane matrix (pack_transport)."""
+             pool: bool = False, tmode: int = 1):
+        """rseqp: transport-packed lane matrix (pack_transport[2])."""
         nlanes = rseqp.shape[0]
-        compact = self._compact_ok(2 * rseqp.shape[1], max_hits,
+        plen = rseqp.shape[1] * (2 if tmode == 1 else 4)
+        compact = self._compact_ok(plen, max_hits,
                                    pool=pool and nlanes >= self.pool_min_lanes)
         self.stats["upload_bytes"] += rseqp.nbytes + lengths.nbytes
         packed = np.asarray(batched_search_packed(
@@ -836,7 +1075,7 @@ class BatchSearchEngine:
             jnp.asarray(start), min_hitlen=self.min_hitlen,
             increment=self.increment, max_hits=max_hits,
             first_hit_only=first_hit_only, nblk=self.fm.nblk,
-            compact=compact, packed_input=True))
+            compact=compact, packed_input=tmode))
         self.stats["download_bytes"] += packed.nbytes
         if compact in (3, 4, 5):
             return _unpack_pool_outputs(
@@ -855,15 +1094,16 @@ class BatchSearchEngine:
         (batched_search_presolve); search_collect then returns the
         (rows, tidx) prefetch arrays as a 7th element."""
         L = len(seqs)
-        lmax = _bucket(max((len(s) for s in seqs), default=1),
-                       lo=self.lmax_lo)
+        maxlen = max((len(s) for s in seqs), default=1)
+        lmax = _bucket_len(maxlen, lo=self.lmax_lo)
         nlanes = _bucket(L, lo=self.lane_bucket_lo)
-        rseqp, lengths = self.pack_transport(seqs, lmax, nlanes)
+        rseqp, lengths, tmode = self.pack_transport2(seqs, lmax, nlanes)
         start = np.zeros(nlanes, dtype=np.int32)
         mh = min(self.FIRST_MAX_HITS, lmax)
+        segs = self._segments(nlanes, maxlen)
         common = (self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
                   jnp.asarray(self.fm.zoff, self.fm.row_dtype))
-        compact = self._compact_ok(2 * rseqp.shape[1], mh)
+        compact = self._compact_ok(lmax + self.fm.ftab_chars, mh)
         if presolve:
             fm = self.fm
             rk = 16 if khits <= 5 else min(128, 4 * khits)
@@ -879,40 +1119,44 @@ class BatchSearchEngine:
                 sample_mask=(1 << fm.offrate) - 1, offrate=fm.offrate,
                 has_bounds=fm.boundary_rows.shape[0] > 0,
                 narrow=fm.npat <= 0xFFFF, max_steps=4096, compact=compact,
-                packed_input=True, phase1_steps=phase1)
+                packed_input=tmode, phase1_steps=phase1, segments=segs)
             packed, pre = out[0], out[1:]
             _start_host_copy(packed, *pre)
             self.stats["upload_bytes"] += rseqp.nbytes + lengths.nbytes
             self.stats["download_bytes"] += (packed.nbytes
                                              + sum(a.nbytes for a in pre))
             return (packed, rseqp, lengths, mh, lmax, nlanes, compact,
-                    pre)
-        compact = self._compact_ok(2 * rseqp.shape[1], mh,
+                    pre, tmode)
+        compact = self._compact_ok(lmax + self.fm.ftab_chars, mh,
                                    pool=nlanes >= self.pool_min_lanes)
         packed = batched_search_packed(
             *common,
             jnp.asarray(rseqp), jnp.asarray(lengths),
             jnp.asarray(start), min_hitlen=self.min_hitlen,
             increment=self.increment, max_hits=mh, first_hit_only=False,
-            nblk=self.fm.nblk, compact=compact, packed_input=True)
+            nblk=self.fm.nblk, compact=compact, packed_input=tmode,
+            segments=segs)
         _start_host_copy(packed)
         self.stats["upload_bytes"] += rseqp.nbytes + lengths.nbytes
         self.stats["download_bytes"] += packed.nbytes
-        return (packed, rseqp, lengths, mh, lmax, nlanes, compact, None)
+        return (packed, rseqp, lengths, mh, lmax, nlanes, compact, None,
+                tmode)
 
     def search_collect(self, handle, L: int):
         """Block on a search_async handle; returns (arrays, prefetch):
         arrays = [h_top, h_bot, h_off, h_len, nhits, sums] per lane and
         prefetch = (rows_sorted, tidx_sorted) when the dispatch had
         presolve=True, else None."""
-        packed, rseqp, lengths, mh, lmax, nlanes, compact, pre = handle
+        (packed, rseqp, lengths, mh, lmax, nlanes, compact, pre,
+         tmode) = handle
         if compact in (3, 4, 5):
             out = _unpack_pool_outputs(
                 np.asarray(packed), nlanes, mh,
                 POOL_SLOTS_PER_LANE * nlanes, mode=compact)
         else:
             out = _unpack_search_outputs(np.asarray(packed), mh, compact)
-        out = self._handle_overflow(out, rseqp, lengths, mh, lmax, nlanes)
+        out = self._handle_overflow(out, rseqp, lengths, mh, lmax,
+                                    nlanes, tmode)
         out = [a[:L] for a in out]
         prefetch = None
         if pre is not None:
@@ -934,17 +1178,20 @@ class BatchSearchEngine:
     def search(self, seqs: List[np.ndarray]):
         """Full scan for each sequence; returns per-lane raw hit arrays."""
         L = len(seqs)
-        lmax = _bucket(max((len(s) for s in seqs), default=1),
-                       lo=self.lmax_lo)
+        lmax = _bucket_len(max((len(s) for s in seqs), default=1),
+                           lo=self.lmax_lo)
         nlanes = _bucket(L, lo=self.lane_bucket_lo)
-        rseqp, lengths = self.pack_transport(seqs, lmax, nlanes)
+        rseqp, lengths, tmode = self.pack_transport2(seqs, lmax, nlanes)
         start = np.zeros(nlanes, dtype=np.int32)
         mh = min(self.FIRST_MAX_HITS, lmax)
-        out = self._run(rseqp, lengths, start, mh, False, pool=True)
-        out = self._handle_overflow(out, rseqp, lengths, mh, lmax, nlanes)
+        out = self._run(rseqp, lengths, start, mh, False, pool=True,
+                        tmode=tmode)
+        out = self._handle_overflow(out, rseqp, lengths, mh, lmax, nlanes,
+                                    tmode)
         return [a[:L] for a in out]
 
-    def _handle_overflow(self, out, rseqp, lengths, mh, lmax, nlanes):
+    def _handle_overflow(self, out, rseqp, lengths, mh, lmax, nlanes,
+                         tmode: int = 1):
         over = np.nonzero(out[4] > mh)[0]
         if over.shape[0]:
             # rare: a lane emitted more hits than the small buffer holds.
@@ -958,7 +1205,8 @@ class BatchSearchEngine:
             lengths2 = np.zeros(nover, dtype=np.int32)
             lengths2[: over.shape[0]] = lengths[over]
             full = self._run(rseq2, lengths2,
-                             np.zeros(nover, dtype=np.int32), mh2, False)
+                             np.zeros(nover, dtype=np.int32), mh2, False,
+                             tmode=tmode)
             wide = [np.zeros((nlanes, mh2), a.dtype) if a.ndim == 2 else a
                     for a in out]
             for k in range(4):
@@ -980,17 +1228,17 @@ class BatchSearchEngine:
         Lanes run in fixed-size chunks so the kernel compiles for exactly
         one shape regardless of how many extension misses a batch has."""
         L = len(seqs)
-        lmax = _bucket(max((len(s) for s in seqs), default=1), lo=32)
+        lmax = _bucket_len(max((len(s) for s in seqs), default=1), lo=32)
         chunk = self.FIRST_HITS_CHUNK
         self.stats["ext_searches"] += (L + chunk - 1) // chunk
         self.stats["ext_lanes"] += L
         outs = []
         for c0 in range(0, L, chunk):
             part = seqs[c0: c0 + chunk]
-            rseqp, lengths = self.pack_transport(part, lmax, chunk)
+            rseqp, lengths, tmode = self.pack_transport2(part, lmax, chunk)
             start = np.zeros(chunk, dtype=np.int32)
             start[: len(part)] = offsets[c0: c0 + chunk].astype(np.int32)
-            out = self._run(rseqp, lengths, start, 1, True)
+            out = self._run(rseqp, lengths, start, 1, True, tmode=tmode)
             outs.append([a[: len(part)] for a in out])
         if len(outs) == 1:
             return outs[0]

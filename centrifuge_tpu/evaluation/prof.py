@@ -32,10 +32,13 @@ def _time_device_only(eng, lane_seqs, batches=3):
     import time
     from centrifuge_tpu.classify.engine import (_bucket,
                                                 batched_search_packed)
-    lmax = _bucket(max(len(s) for s in lane_seqs), lo=256)
+    maxlen = max(len(s) for s in lane_seqs)
+    from centrifuge_tpu.classify.engine import _bucket_len
+    lmax = _bucket_len(maxlen, lo=eng.lmax_lo)
     nlanes = _bucket(len(lane_seqs), lo=2 * BATCH)
     rseqp, lengths = eng.pack_transport(lane_seqs, lmax, nlanes)
     fm = eng.fm
+    segs = eng._segments(nlanes, maxlen)
 
     @jax.jit
     def run(rseqp, lengths, start):
@@ -45,7 +48,7 @@ def _time_device_only(eng, lane_seqs, batches=3):
             min_hitlen=eng.min_hitlen, increment=eng.increment,
             max_hits=16, first_hit_only=False, nblk=fm.nblk,
             compact=eng._compact_ok(2 * rseqp.shape[1], 16, pool=True),
-            packed_input=True)
+            packed_input=True, segments=segs)
         return packed.astype(jnp.int32).sum()
 
     start = jnp.zeros(nlanes, jnp.int32)
@@ -99,7 +102,7 @@ def main(argv=None):
         cfg.host_resolve = False
     pipe = TPUClassificationPipeline(idx, cfg)
     pipe.engine.lane_bucket_lo = 2 * BATCH
-    pipe.engine.lmax_lo = 256
+    pipe.engine.lmax_lo = 32
     eng = pipe.engine
 
     # ---- warmup / compile ----
@@ -173,7 +176,7 @@ def main(argv=None):
     # prep cost (revcomp+pack happens before dispatch)
     t0 = time.perf_counter()
     units = pipe._prep_unpaired(recs)
-    rseqp, lengths = eng.pack_transport(lane_seqs, 256, 2 * BATCH)
+    rseqp, lengths = eng.pack_transport(lane_seqs, 160, 2 * BATCH)
     prep = time.perf_counter() - t0
     print(f"host prep (revcomp+pack+transport)/batch: {prep*1e3:.0f} ms",
           flush=True)
@@ -183,7 +186,7 @@ def main(argv=None):
     for _ in range(3):
         p2 = TPUClassificationPipeline(idx, cfg, dfm=pipe.dfm)
         p2.engine.lane_bucket_lo = 2 * BATCH
-        p2.engine.lmax_lo = 256
+        p2.engine.lmax_lo = 32
         t0 = time.perf_counter()
         for _ in p2.classify_stream_unpaired(
                 reads[i: i + BATCH] for i in range(0, n, BATCH)):
@@ -211,7 +214,7 @@ def main(argv=None):
             for fw, rc in unit:
                 lane_seqs.append(fw)
                 lane_seqs.append(rc)
-        rseq, lengths = eng.pack(lane_seqs, 256, 2 * BATCH)
+        rseq, lengths = eng.pack(lane_seqs, 160, 2 * BATCH)
         rseq = rseq.astype(np.int32)
 
         @jax.jit

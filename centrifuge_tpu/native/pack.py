@@ -31,6 +31,9 @@ def _load():
         lib.cf_pack_reads.argtypes = [
             _u8p, _i64p, _i32p, C.c_int64, C.c_int64, _u8p, C.c_int64,
             C.c_int32]
+        lib.cf_pack_reads2.argtypes = [
+            _u8p, _i64p, _i32p, C.c_int64, C.c_int64, _u8p, C.c_int64,
+            C.c_int32, _i32p]
         _LIB = lib
     except Exception:
         _LIB_FAILED = True
@@ -57,3 +60,28 @@ def pack_reads(seqs, lens: np.ndarray, nlanes: int, row_bytes: int,
     lib.cf_pack_reads(allseq, starts, lens, len(seqs), row_bytes, out,
                       nlanes, nthreads)
     return out
+
+
+def pack_reads2(seqs, lens: np.ndarray, nlanes: int, row_bytes: int,
+                nthreads: int = 0):
+    """2-bit (4 codes/byte) transport pack for N-free batches.
+
+    Returns (matrix, has_n); has_n=True means a code > 3 was seen and the
+    matrix is NOT valid -- the caller falls back to the 4-bit packing.
+    None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if len(seqs):
+        allseq = np.ascontiguousarray(np.concatenate(seqs), np.uint8)
+    else:
+        allseq = np.zeros(1, np.uint8)
+    lens = np.ascontiguousarray(lens, np.int32)
+    starts = np.cumsum(lens, dtype=np.int64) - lens
+    out = np.empty((nlanes, row_bytes), np.uint8)
+    if not nthreads:
+        nthreads = min(8, os.cpu_count() or 1)
+    flags = np.zeros(max(nthreads, 1), np.int32)
+    lib.cf_pack_reads2(allseq, starts, lens, len(seqs), row_bytes, out,
+                       nlanes, nthreads, flags)
+    return out, bool(flags[0])

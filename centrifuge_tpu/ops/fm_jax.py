@@ -40,6 +40,22 @@ _CHAR_PATTERNS = np.array(
     [0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF], dtype=np.uint32)
 
 
+def _char_pattern(chars: jax.Array) -> jax.Array:
+    """The repeated 2-bit pattern for each char WITHOUT a table gather:
+    the four patterns are exactly c * 0x55555555 (mod 2^32), and scalar
+    gathers cost 5-16 ns/elem on this backend vs ~free arithmetic."""
+    return chars.astype(jnp.uint32) * jnp.uint32(0x55555555)
+
+
+def _fchr_select(fchr: jax.Array, chars: jax.Array) -> jax.Array:
+    """fchr[chars] for chars in [0, 3] via a 4-wide masked sum instead of
+    a scalar gather (the gather costs ~8 ns per element; this fuses into
+    the surrounding elementwise graph)."""
+    idx = jnp.arange(4, dtype=jnp.int32)[None, :]
+    return jnp.where(idx == chars[:, None], fchr[None, :4], 0).sum(
+        axis=1, dtype=fchr.dtype)
+
+
 def pack_bwt_blocks(bwt: np.ndarray, wide: bool) -> np.ndarray:
     """Repack a BWT code array into 512-base device block rows.
 
@@ -212,7 +228,7 @@ def rank_in_block(data: jax.Array, within: jax.Array, chars: jax.Array,
     the result dtype then widens to int64.
     """
     words = data[:, word_off:]               # (B, 32)
-    pattern = jnp.asarray(_CHAR_PATTERNS)[chars][:, None]     # (B, 1)
+    pattern = _char_pattern(chars)[:, None]                   # (B, 1)
     widx = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)[None, :]
     within32 = within.astype(jnp.int32)
     nvalid = jnp.clip(within32[:, None] - widx * 16, 0, 16)
@@ -251,7 +267,7 @@ def _rank_from_rows(data: jax.Array, within: jax.Array, chars: jax.Array,
     with a masked sum instead of a second scalar gather.
     """
     words = data[:, word_off:]
-    pattern = jnp.asarray(_CHAR_PATTERNS)[chars][:, None]
+    pattern = _char_pattern(chars)[:, None]
     widx = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)[None, :]
     within32 = within.astype(jnp.int32)
     nvalid = jnp.clip(within32[:, None] - widx * 16, 0, 16)
@@ -313,7 +329,7 @@ def fused_step_lookup(ufm: jax.Array, nblk: int, fchr: jax.Array, zoff,
     within2 = (rows2 & 511).astype(jnp.int32)
     ch2 = jnp.concatenate([chars, chars])
     r = _rank_from_rows(g, within2, ch2, zoff, rows2, word_off)
-    lf2 = fchr[ch2] + r
+    lf2 = _fchr_select(fchr, ch2) + r
     word = _select_col(gt[:, word_off:],
                        ((top & 511) >> 4).astype(jnp.int32))
     topchar = ((word.astype(jnp.uint32)
@@ -333,7 +349,7 @@ def rank_kernel(blocks: jax.Array, zoff, rows: jax.Array,
 
 def lf_kernel(blocks, fchr, zoff, rows, chars):
     """Batched LF(row, c) = fchr[c] + rank_c(row)."""
-    return fchr[chars] + rank_kernel(blocks, zoff, rows, chars)
+    return _fchr_select(fchr, chars) + rank_kernel(blocks, zoff, rows, chars)
 
 
 def bwt_char_kernel(blocks: jax.Array, rows: jax.Array) -> jax.Array:
@@ -398,8 +414,8 @@ def _resolve_body(blocks, fchr, offs, boundary_rows, boundary_refs, zoff,
         c = ((word.astype(jnp.uint32)
               >> (2 * (step_rows & 15).astype(jnp.uint32))) & 3
              ).astype(jnp.int32)
-        nxt = fchr[c] + _rank_from_rows(data, within, c, zoff, step_rows,
-                                        word_off)
+        nxt = _fchr_select(fchr, c) + _rank_from_rows(
+            data, within, c, zoff, step_rows, word_off)
         rows = jnp.where(unresolved, nxt, rows)
         t2 = _try_offset(blocks, offs, boundary_rows, boundary_refs, zoff,
                          rows, sample_mask, offrate, has_bounds, narrow)

@@ -45,8 +45,8 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from ..index.cf_io import CFIndex
-from ..ops.fm_jax import (BLOCK_BASES, WORDS_PER_BLOCK, pack_bwt_blocks,
-                          rank_in_block)
+from ..ops.fm_jax import (BLOCK_BASES, WORDS_PER_BLOCK, _fchr_select,
+                          pack_bwt_blocks, rank_in_block)
 from ..classify.engine import FMKernels, search_loop, _bucket
 
 
@@ -145,7 +145,7 @@ def _shard_kernels(sh: ShardedFMArrays, blocks_l, fchr, ftab_tb_l, zoff,
         return jax.lax.psum(jnp.where(valid, r, 0), axis)
 
     def lf(rows, chars):
-        return fchr[chars] + rank(rows, chars)
+        return _fchr_select(fchr, chars) + rank(rows, chars)
 
     def bwt_char(rows):
         blk = (rows >> 9) - blk_base
@@ -167,7 +167,7 @@ def _shard_kernels(sh: ShardedFMArrays, blocks_l, fchr, ftab_tb_l, zoff,
         within = rows & 511
         r = rank_in_block(data, within, ch2, zoff, rows, word_off)
         r = jax.lax.psum(jnp.where(valid, r, 0), axis)
-        lf2 = fchr[ch2] + r
+        lf2 = _fchr_select(fchr, ch2) + r
         word = data[jnp.arange(2 * B),
                     word_off + (within.astype(jnp.int32) >> 4)]
         ch = ((word >> (2 * (within & 15).astype(jnp.uint32))) & 3

@@ -252,3 +252,107 @@ def test_pool_mode5_size_saturation_poisons_lane():
     assert out[4][0] == 1
     assert out[4][2] > mh          # poisoned -> overflow re-fetch
     assert out[0][2, 0] == 7       # top still exact
+
+
+def test_segmented_compaction_parity():
+    """search_loop's lockstep-compaction schedule must be bit-identical
+    to the plain full-width loop: an early compaction point (survivors
+    fit -> compact+merge branch) and an absurdly early one (survivors
+    exceed capacity -> the lax.cond keeps full width) both count."""
+    import os
+    import jax.numpy as jnp
+    from centrifuge_tpu.classify.engine import (BatchSearchEngine,
+                                                batched_search_packed,
+                                                _unpack_search_outputs)
+    from centrifuge_tpu.index.cf_io import load_cf_index
+    from centrifuge_tpu.io.fastx import read_batch
+    from centrifuge_tpu.ops.fm_jax import DeviceFMIndex
+
+    fx = os.path.join(os.path.dirname(__file__), "fixtures", "synth")
+    idx = load_cf_index(os.path.join(fx, "synth"))
+    fm = DeviceFMIndex.build(idx)
+    reads = read_batch([os.path.join(fx, "reads.fq")])[:48]
+    seqs = []
+    for r in reads:
+        seqs.append(r.seq)
+        seqs.append(r.revcomp())
+    rng = np.random.default_rng(7)
+    # junk + short reads diversify per-lane step counts
+    seqs += [rng.integers(0, 4, int(n)).astype(np.uint8)
+             for n in rng.integers(36, 150, 100)]
+
+    eng = BatchSearchEngine(fm)
+    nlanes = 256
+    rseqp, lengths = eng.pack_transport(seqs, 160, nlanes)
+    args = (fm.blocks, fm.fchr, fm.ftab_tb,
+            jnp.asarray(fm.zoff, fm.row_dtype),
+            jnp.asarray(rseqp), jnp.asarray(lengths),
+            jnp.asarray(np.zeros(nlanes, np.int32)))
+    kw = dict(min_hitlen=22, increment=10, max_hits=16,
+              first_hit_only=False, nblk=fm.nblk, compact=0,
+              packed_input=True)
+    ref = _unpack_search_outputs(
+        np.asarray(batched_search_packed(*args, **kw)), 16, 0)
+    for segments in (
+            ((11, nlanes // 2),),              # normal: survivors fit
+            ((1, nlanes // 2),),               # too early: cond overflow
+            ((6, nlanes // 2), (6, nlanes // 4)),   # two levels
+    ):
+        got = _unpack_search_outputs(
+            np.asarray(batched_search_packed(*args, segments=segments,
+                                             **kw)), 16, 0)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_transport2_parity():
+    """The 2-bit (4 codes/byte) transport must give identical search
+    results to the 4-bit packing on N-free batches, and batches with Ns
+    must fall back to tmode=1."""
+    import os
+    from centrifuge_tpu.classify.engine import BatchSearchEngine
+    from centrifuge_tpu.index.cf_io import load_cf_index
+    from centrifuge_tpu.io.fastx import read_batch
+    from centrifuge_tpu.ops.fm_jax import DeviceFMIndex
+
+    fx = os.path.join(os.path.dirname(__file__), "fixtures", "synth")
+    idx = load_cf_index(os.path.join(fx, "synth"))
+    fm = DeviceFMIndex.build(idx)
+    reads = [r for r in read_batch([os.path.join(fx, "reads.fq")])
+             if not (r.seq > 3).any()][:64]
+    seqs = []
+    for r in reads:
+        seqs.append(r.seq)
+        seqs.append(r.revcomp())
+    rng = np.random.default_rng(11)
+    seqs += [rng.integers(0, 4, int(n)).astype(np.uint8)
+             for n in rng.integers(33, 151, 64)]
+
+    eng = BatchSearchEngine(fm)
+    m2, l2, t2 = eng.pack_transport2(seqs, 160, 256)
+    assert t2 == 2, "N-free batch must take the 2-bit packing"
+    # device-side unpack equality against the 4-bit path
+    import jax.numpy as jnp
+    from centrifuge_tpu.classify.engine import (_unpack_rseq,
+                                                _unpack_rseq2)
+    m1, l1 = eng.pack_transport(seqs, 160, 256)
+    a = np.asarray(_unpack_rseq(jnp.asarray(m1)))
+    b = np.asarray(_unpack_rseq2(jnp.asarray(m2)))
+    np.testing.assert_array_equal(a[:, :170], b[:, :170])
+    np.testing.assert_array_equal(l1, l2)
+
+    # end-to-end: search results identical whichever transport runs
+    ref = [np.asarray(x) for x in eng.search(seqs)]
+    eng4 = BatchSearchEngine(fm)
+    orig = eng4.pack_transport2
+    eng4.pack_transport2 = lambda s_, lm, nl: (
+        eng4.pack_transport(s_, lm, nl) + (1,))
+    got = [np.asarray(x) for x in eng4.search(seqs)]
+    for x, y in zip(ref, got):
+        np.testing.assert_array_equal(x, y)
+
+    # a batch containing N codes must fall back
+    nseqs = [s.copy() for s in seqs[:8]]
+    nseqs[3][5] = 4
+    _, _, tm = eng.pack_transport2(nseqs, 160, 16)
+    assert tm == 1
