@@ -37,7 +37,9 @@ sys.path.insert(0, REPO)
 BASELINE_READS_PER_SEC = 3333.0
 REF_CPU_LOCAL = 167000.0
 FIXDIR = os.path.join(REPO, "tests", "fixtures", "synth")
-BATCH = 8192
+# 16384-read batches (32k lanes): the search step has a ~200 us/step
+# lane-count-independent floor, so doubling the batch is +22% measured
+BATCH = 16384
 N_THROUGHPUT_READS = 3 * BATCH  # full batches only: one jit shape set
 TRIALS = 3
 
@@ -70,7 +72,8 @@ def main():
     parity_ok = rows == golden
 
     # ---- phase 2: throughput on 24k simulated reads, median of 3 ----
-    sim_prefix = os.path.join("/tmp", "cftpu_bench_sim")
+    sim_prefix = os.path.join(
+        "/tmp", f"cftpu_bench_sim_{N_THROUGHPUT_READS}")
     if not os.path.exists(sim_prefix + ".fq"):
         simulate(os.path.join(FIXDIR, "db.fa"),
                  os.path.join(FIXDIR, "conv.dmp"), sim_prefix,
