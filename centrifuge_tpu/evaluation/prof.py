@@ -40,10 +40,13 @@ def _time_device_only(eng, lane_seqs, batches=3):
     fm = eng.fm
     segs = eng._segments(nlanes, maxlen)
 
+    # index arrays must be jit ARGUMENTS: a closed-over multi-GB blocks
+    # table becomes a compile-request constant and the axon remote
+    # compile rejects it (HTTP 413)
     @jax.jit
-    def run(rseqp, lengths, start):
+    def run(blocks, fchr, ftab_tb, rseqp, lengths, start):
         packed = batched_search_packed(
-            fm.blocks, fm.fchr, fm.ftab_tb,
+            blocks, fchr, ftab_tb,
             jnp.asarray(fm.zoff, fm.row_dtype), rseqp, lengths, start,
             min_hitlen=eng.min_hitlen, increment=eng.increment,
             max_hits=16, first_hit_only=False, nblk=fm.nblk,
@@ -53,11 +56,12 @@ def _time_device_only(eng, lane_seqs, batches=3):
 
     start = jnp.zeros(nlanes, jnp.int32)
     r, l = jnp.asarray(rseqp), jnp.asarray(lengths)
-    run(r, l, start).block_until_ready()   # compile
+    args_ = (fm.blocks, fm.fchr, fm.ftab_tb, r, l, start)
+    run(*args_).block_until_ready()   # compile
     ts = []
     for _ in range(batches):
         t0 = time.perf_counter()
-        run(r, l, start).block_until_ready()
+        run(*args_).block_until_ready()
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
@@ -115,7 +119,7 @@ def main(argv=None):
 
     # ---- device search alone: dispatch -> block, serialized ----
     dev_times = []
-    for b in range(args.batches):
+    for b in range(min(args.batches, n // BATCH)):
         recs = reads[b * BATCH: (b + 1) * BATCH]
         units = pipe._prep_unpaired(recs)
         lane_seqs = []

@@ -40,6 +40,10 @@ def main(argv=None):
                          "--reorder on the same index/reads) to byte-compare "
                          "instead of running the binary")
     ap.add_argument("--reads-count", type=int, default=2 * BATCH)
+    ap.add_argument("--batch", type=int, default=BATCH,
+                    help="reads per device batch (32k lanes measured "
+                         "faster than 16k; steady-state pipelining needs "
+                         ">= 4 batches)")
     ap.add_argument("--out", default=None, help="write the JSON line here too")
     args = ap.parse_args(argv)
 
@@ -56,8 +60,9 @@ def main(argv=None):
           flush=True)
     assert idx.bwt_len >= (1 << 31), "not in the wide regime!"
 
+    B = args.batch
     reads = read_batch([args.reads])[:args.reads_count]
-    n_full = (len(reads) // BATCH) * BATCH
+    n_full = (len(reads) // B) * B
     reads = reads[:n_full]
     t0 = time.time()
     pipe = TPUClassificationPipeline(idx)
@@ -65,7 +70,7 @@ def main(argv=None):
     print(f"device arrays built ({time.time()-t0:.1f}s)", flush=True)
 
     t0 = time.time()
-    for _ in pipe.classify_stream_unpaired([reads[:BATCH]]):
+    for _ in pipe.classify_stream_unpaired([reads[:B]]):
         pass
     print(f"warmup+compile: {time.time()-t0:.1f}s", flush=True)
 
@@ -78,7 +83,7 @@ def main(argv=None):
         t0 = time.time()
         rows = [pipe2.formatter.header()]
         for chunk in pipe2.classify_stream_unpaired(
-                reads[i: i + BATCH] for i in range(0, len(reads), BATCH)):
+                reads[i: i + B] for i in range(0, len(reads), B)):
             rows += chunk
         runs.append(len(reads) / (time.time() - t0))
         print(f"run: {runs[-1]:.1f} reads/s", flush=True)
