@@ -285,6 +285,10 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         stepping = extending & (dep < n)
         cq = jnp.clip(c, 0, 3)
         rows_t = jnp.where(stepping, top, 0)
+        # NOTE: pointing single-row lanes' bot gather at top's row (hoping
+        # duplicate rows coalesce) was measured: device compute unchanged
+        # (301 ms/16k-lane wide batch) -- the gather is row-count-bound,
+        # duplicates don't coalesce. Keep the straightforward form.
         rows_b = jnp.where(stepping, bot, 0)
         if kern.step_lookup is not None:
             ftop, fbot, t2, b2_full, topchar = kern.step_lookup(
@@ -527,7 +531,7 @@ def _pack_search_outputs(h_top, h_bot, h_off, h_len, nhits, sums, idt,
     compact=3/4 (narrow/wide hit pool): only occupied slots cross the
     link (_pack_pool_outputs).
     Otherwise (L, 4*mh+2) in the row dtype."""
-    if compact in (3, 4, 5):
+    if compact in (3, 4, 5, 6):
         return _pack_pool_outputs(h_top, h_bot, h_off, h_len, nhits, sums,
                                   POOL_SLOTS_PER_LANE * h_top.shape[0],
                                   mode=compact)
@@ -579,6 +583,9 @@ def _pack_pool_outputs(h_top, h_bot, h_off, h_len, nhits, sums, budget,
       mode 5 (narrow, reads <= 256 bp): [top, size<<18|off<<9|len] --
         8 B/hit; sizes >= 2^14-1 saturate, which the host detects and
         serves through the overflow re-fetch (exact, just slower)
+      mode 6 (wide, reads <= 256 bp, bwt_len+1 < 2^36): mode 5's two
+        words + packed 4-bit top high nibbles for 8 consecutive pool
+        slots -- 8.5 B/hit vs mode 4's 13
     Tail: (L,) int32 nhits<<16|sums. Lanes whose hits fall beyond
     `budget` are detected host-side from the tail counts and re-fetched
     (engine._handle_overflow), so truncation is a fallback, never a
@@ -606,6 +613,21 @@ def _pack_pool_outputs(h_top, h_bot, h_off, h_len, nhits, sums, budget,
         pool = jnp.stack([top.astype(jnp.int32), word2],
                          axis=1).reshape(-1)
         return jnp.concatenate([pool, tail])
+    if mode == 6:
+        size = jnp.where(top >= 0, jnp.minimum(bot - top, 16383),
+                         0).astype(jnp.int32)
+        word2 = (size << 18) | (off << 9) | ln
+        tp = (top + 1).astype(jnp.uint64)     # bias: -1 sentinel -> 0
+        t_lo = lax.bitcast_convert_type(
+            (tp & 0xFFFFFFFF).astype(jnp.uint32), jnp.int32)
+        pool = jnp.stack([t_lo, word2], axis=1).reshape(-1)
+        nib = (tp >> 32).astype(jnp.uint32)
+        n8 = nib.reshape(budget // 8, 8)
+        packed_hi = n8[:, 0]
+        for k in range(1, 8):
+            packed_hi = packed_hi | (n8[:, k] << (4 * k))
+        nwords = lax.bitcast_convert_type(packed_hi, jnp.int32)
+        return jnp.concatenate([pool, nwords, tail])
     offlen = (off << 16) | ln
     if mode == 3:
         pool = jnp.stack([top.astype(jnp.int32), bot.astype(jnp.int32),
@@ -634,7 +656,7 @@ def _unpack_pool_outputs(packed: np.ndarray, L: int, mh: int, budget: int,
     size) get nhits poisoned past mh so the standard overflow re-run
     serves them exactly.
     """
-    words = 2 if mode == 5 else 3
+    words = 2 if mode in (5, 6) else 3
     pool = packed[:budget * words].reshape(budget, words)
     tail = packed[-L:]
     nhits = ((tail >> 16) & 0xFFFF).astype(np.int32)
@@ -643,7 +665,7 @@ def _unpack_pool_outputs(packed: np.ndarray, L: int, mh: int, budget: int,
     cum = np.cumsum(nh)
     doffs = cum - nh
     total = int(cum[-1]) if L else 0
-    dt = np.int64 if mode == 4 else np.int32
+    dt = np.int64 if mode in (4, 6) else np.int32
     h_top = np.full((L, mh), -1, dt)
     h_bot = np.full((L, mh), -1, dt)
     h_off = np.zeros((L, mh), np.int32)
@@ -660,6 +682,25 @@ def _unpack_pool_outputs(packed: np.ndarray, L: int, mh: int, budget: int,
                     np.uint8)[:ncov]
             top = ((nib.astype(np.int64) & 15) << 32 | t_lo) - 1
             bot = ((nib.astype(np.int64) >> 4) << 32 | b_lo) - 1
+        elif mode == 6:
+            t_lo = np.ascontiguousarray(pool[:ncov, 0]).view(np.uint32)
+            nib = np.ascontiguousarray(
+                packed[budget * 2: budget * 2 + budget // 8]).view(
+                    np.uint8)
+            hi4 = ((nib[(np.arange(ncov)) >> 1].astype(np.int64)
+                    >> ((np.arange(ncov) & 1) * 4)) & 15)
+            top = ((hi4 << 32) | t_lo) - 1
+            w2 = np.ascontiguousarray(pool[:ncov, 1]).view(np.uint32)
+            size = (w2 >> 18).astype(np.int64)
+            bot = np.where(top >= 0, top + size, -1)
+            sat = size == 16383
+            if sat.any():
+                bad = np.zeros(L, bool)
+                bad[lanes[sat]] = True
+                nhits = np.where(bad, np.maximum(nhits, mh + 1),
+                                 nhits).astype(np.int32)
+            h_off[lanes, slots] = (w2 >> 9) & 511
+            h_len[lanes, slots] = w2 & 511
         else:
             top = pool[:ncov, 0]
             if mode == 5:
@@ -679,7 +720,7 @@ def _unpack_pool_outputs(packed: np.ndarray, L: int, mh: int, budget: int,
                 bot = pool[:ncov, 1]
         h_top[lanes, slots] = top
         h_bot[lanes, slots] = bot
-        if mode != 5:
+        if mode not in (5, 6):
             h_off[lanes, slots] = (pool[:ncov, 2] >> 16) & 0xFFFF
             h_len[lanes, slots] = pool[:ncov, 2] & 0xFFFF
     if total > budget:
@@ -988,7 +1029,8 @@ class BatchSearchEngine:
         if self.fm.bwt_len + 1 >= (1 << 36):
             return 0
         if pool:
-            return 4
+            # 8.5 B/hit when off/len fit 9 bits (reads <= ~256 bp)
+            return 6 if lmax <= 266 else 4
         return 2 if mh % 4 == 0 else 0
 
     def _segments(self, nlanes: int, maxlen: int) -> tuple:
@@ -1077,7 +1119,7 @@ class BatchSearchEngine:
             first_hit_only=first_hit_only, nblk=self.fm.nblk,
             compact=compact, packed_input=tmode))
         self.stats["download_bytes"] += packed.nbytes
-        if compact in (3, 4, 5):
+        if compact in (3, 4, 5, 6):
             return _unpack_pool_outputs(
                 packed, nlanes, max_hits, POOL_SLOTS_PER_LANE * nlanes,
                 mode=compact)
@@ -1149,7 +1191,7 @@ class BatchSearchEngine:
         presolve=True, else None."""
         (packed, rseqp, lengths, mh, lmax, nlanes, compact, pre,
          tmode) = handle
-        if compact in (3, 4, 5):
+        if compact in (3, 4, 5, 6):
             out = _unpack_pool_outputs(
                 np.asarray(packed), nlanes, mh,
                 POOL_SLOTS_PER_LANE * nlanes, mode=compact)

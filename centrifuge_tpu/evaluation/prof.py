@@ -55,13 +55,21 @@ def _time_device_only(eng, lane_seqs, batches=3):
         return packed.astype(jnp.int32).sum()
 
     start = jnp.zeros(nlanes, jnp.int32)
-    r, l = jnp.asarray(rseqp), jnp.asarray(lengths)
-    args_ = (fm.blocks, fm.fchr, fm.ftab_tb, r, l, start)
-    run(*args_).block_until_ready()   # compile
+    l = jnp.asarray(lengths)
+    run(fm.blocks, fm.fchr, fm.ftab_tb, jnp.asarray(rseqp), l,
+        start).block_until_ready()   # compile
     ts = []
-    for _ in range(batches):
+    for i in range(batches):
+        # perturb a dead padding lane's bytes per run: identical arg
+        # contents let the tunnel serve a cached execution result
+        rp = rseqp.copy()
+        rp[-1, -1] = (i + 1) & 0x33
+        r = jnp.asarray(rp)
+        r.block_until_ready()   # keep the upload out of the timing
         t0 = time.perf_counter()
-        run(*args_).block_until_ready()
+        # fetch the scalar: block_until_ready alone has been observed
+        # NOT to block on the axon backend in this configuration
+        float(run(fm.blocks, fm.fchr, fm.ftab_tb, r, l, start))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
