@@ -21,19 +21,22 @@ def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="centrifuge", add_help=True, allow_abbrev=False,
         description="Centrifuge-TPU: metagenomic classifier (TPU-native)")
-    p.add_argument("-x", dest="index", required=True, metavar="<cf-idx>",
+    p.add_argument("-x", "--index", dest="index", required=True,
+                   metavar="<cf-idx>",
                    help="Index filename prefix (minus .X.cf)")
-    p.add_argument("-U", dest="unpaired", metavar="<r>",
+    p.add_argument("-U", "--unpaired", dest="unpaired", metavar="<r>",
                    help="Comma-separated unpaired read files")
     p.add_argument("-1", dest="mates1", metavar="<m1>",
                    help="Comma-separated mate-1 files")
     p.add_argument("-2", dest="mates2", metavar="<m2>",
                    help="Comma-separated mate-2 files")
-    p.add_argument("-S", dest="output", default="-", metavar="<filename>",
+    p.add_argument("-S", "--output", dest="output", default="-",
+                   metavar="<filename>",
                    help="Classification output file (default: stdout)")
     p.add_argument("--report-file", default="centrifuge_report.tsv",
                    metavar="<filename>", help="Species report file")
-    p.add_argument("-k", dest="khits", type=int, default=5, metavar="<int>",
+    p.add_argument("-k", "--khits", dest="khits", type=int, default=5,
+                   metavar="<int>",
                    help="Report up to <int> distinct assignments per read")
     p.add_argument("--min-hitlen", type=int, default=22, metavar="<int>",
                    help="Minimum length of partial hits (>=16, default 22)")
@@ -64,6 +67,14 @@ def make_parser() -> argparse.ArgumentParser:
                    help="Inputs are Illumina qseq files")
     p.add_argument("--12", dest="tab12", metavar="<tab>",
                    help="Comma-separated tabbed (1-2-mates-per-line) files")
+    p.add_argument("--tab5", metavar="<files>",
+                   help="Comma-separated 5-field tabbed paired files: "
+                   "name\\tseq1\\tqual1\\tseq2\\tqual2 "
+                   "(centrifuge.cpp:976, pat.h TabbedPatternSource)")
+    p.add_argument("--tab6", metavar="<files>",
+                   help="Comma-separated 6-field tabbed paired files: "
+                   "name1\\tseq1\\tqual1\\tname2\\tseq2\\tqual2 "
+                   "(centrifuge.cpp:977)")
     p.add_argument("-F", dest="fasta_cont", metavar="k:<int>,i:<int>",
                    help="Classify consecutive k-mers of the input seqs")
     for kind, what in (("un", "unclassified"), ("al", "classified")):
@@ -98,9 +109,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--ignore-quals", action="store_true",
                    help="Accepted for compatibility (qualities only "
                    "feed vestigial scoring in the reference classifier)")
-    p.add_argument("--phred33", action="store_true",
+    p.add_argument("--phred33", "--phred33-quals", dest="phred33",
+                   action="store_true",
                    help="Qualities are Phred+33 (default)")
-    p.add_argument("--phred64", "--solexa1.3-quals", dest="phred64",
+    p.add_argument("--phred64", "--solexa1.3-quals", "--phred64-quals",
+                   dest="phred64",
                    action="store_true", help="Qualities are Phred+64")
     p.add_argument("--solexa-quals", dest="solexa_quals",
                    action="store_true",
@@ -108,8 +121,21 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--int-quals", "--integer-quals", dest="int_quals",
                    action="store_true",
                    help="Qualities are given as space-delimited integers")
-    p.add_argument("-u", "--upto", dest="upto", type=int, default=0,
+    p.add_argument("-u", "--upto", "--qupto", dest="upto", type=int,
+                   default=0,
                    metavar="<int>", help="Stop after the first <int> reads")
+    p.add_argument("--sample", type=float, default=1.1, metavar="<frac>",
+                   help="Classify only a pseudo-random fraction of the "
+                   "input reads, decided per read from its seed exactly "
+                   "as the reference (centrifuge.cpp:2459-2462; sampled-"
+                   "out reads still count against -u, rdid semantics)")
+    p.add_argument("--non-deterministic", "--nondeterministic",
+                   dest="non_deterministic", action="store_true",
+                   help="Re-seed the per-read RNG arbitrarily each run "
+                   "(reference: time-seeded per-read draws, "
+                   "centrifuge.cpp:2456-2458; here a time-derived global "
+                   "seed -- identical duplicate reads share a seed "
+                   "within one run, unlike the reference)")
     p.add_argument("-s", "--skip", dest="skip", type=int, default=0,
                    metavar="<int>", help="Skip the first <int> reads")
     p.add_argument("-5", "--trim5", dest="trim5", type=int, default=0,
@@ -139,20 +165,93 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--file-parallel", action="store_true",
                    help="Accepted for compatibility (samples stream "
                    "through one device pipeline)")
-    p.add_argument("--met-file", metavar="<path>",
+    p.add_argument("--met-file", "--metrics-file", dest="met_file",
+                   metavar="<path>",
                    help="Write interval metrics TSV to <path>")
-    p.add_argument("--met-stderr", action="store_true",
+    p.add_argument("--met-stderr", "--metrics-stderr", dest="met_stderr",
+                   action="store_true",
                    help="Write interval metrics to stderr")
-    p.add_argument("--met", type=int, default=1, metavar="<int>",
+    p.add_argument("--met", "--metrics", dest="met", type=int, default=1,
+                   metavar="<int>",
                    help="Metrics emission interval in seconds (default 1)")
-    p.add_argument("--met-read", metavar="<path>",
-                   help="Write one metrics row per read to <path>")
+    p.add_argument("--met-read", "--metrics-per-read", dest="met_read",
+                   nargs="?", const=True, metavar="<path>",
+                   help="Per-read metrics: with <path>, one row per read "
+                   "to that file; bare (reference arity, "
+                   "centrifuge.cpp:546-547) rows go to --met-file / "
+                   "stderr")
     p.add_argument("--engine", default="tpu", choices=["tpu", "oracle"],
                    help="Device batch engine (tpu) or numpy oracle")
     p.add_argument("--version", action="store_true")
+    p.add_argument("--usage", action="help",
+                   help="Print this help (reference alias)")
     p.add_argument("reads", nargs="*", help="Positional read files "
                    "(same as -U) for wrapper compatibility")
+    _add_compat_noops(p)
     return p
+
+
+# The remaining bowtie2-inherited options the reference parses
+# (centrifuge.cpp:530-706) but that cannot affect classification output:
+# alignment-policy / DP / seed-extension / SAM / cache tuning consumed
+# only by the HISAT2 alignment machinery the classifier never invokes.
+# Parsed with the reference's arity so any reference command line runs
+# unmodified; values are ignored.
+_NOOP_FLAGS0 = [
+    "1mm-upfront", "454", "all", "arg-desc", "bwa-sw-like", "cache",
+    "contain", "dovetail", "end-to-end", "exact-upfront", "ff", "filepar",
+    "fr", "fullref", "fuzzy", "hadoopout", "ion-torrent", "local",
+    "mapq-extra", "mapq-print-inputs", "mmsweep", "no-1mm-upfront",
+    "no-cache", "no-contain", "no-discordant", "no-dovetail",
+    "no-exact-upfront", "no-extend", "no-mixed", "no-overlap",
+    "no-score-priority", "no-sse8", "no-unal", "no-ungapped",
+    "omit-sec-seq", "overhang", "overlap", "passthrough", "pause",
+    "read-times", "refidx", "rf", "sanity", "scan-narrowed", "seed-summ",
+    "seed-summary", "separator", "show-rand-seed", "sse8", "startverbose",
+    "test-25", "tri", "ungapped", "verbose",
+]
+_NOOP_FLAGS1 = [
+    "1mm-minlen", "cachelim", "cachesz", "cp-ival", "cp-min", "desc-exp",
+    "desc-fmops", "desc-kb", "desc-landing", "dp-fail-streak", "dp-fails",
+    "dpad", "ee-fail-streak", "extends", "fail-streak", "gbar",
+    "local-seed-cache-sz", "ma", "mapq-v", "maxins", "min-score", "minins",
+    "mp", "multiseed", "np", "orig", "partition", "policy", "preset",
+    "rdg", "rfg", "score-min", "seed-boost", "seed-cache-sz", "seed-off",
+    "seed-rounds", "seedival", "seedlen", "seedmms", "tighten",
+    "ug-fail-streak", "ug-fails", "wrapper",
+]
+# short bowtie2 leftovers (short_options, centrifuge.cpp:530): no-arg
+# b/z/a/C; with-arg P/w/M/I/X/N/i/L/g/O/D/R/v
+_NOOP_SHORT0 = ["-b", "-z", "-a", "-C"]
+_NOOP_SHORT1 = ["-P", "-w", "-M", "-I", "-X", "-N", "-i", "-L", "-g",
+                "-O", "-D", "-R", "-v"]
+# --quals/-Q and --sra-acc also parse, but warn: they WOULD change
+# behavior in the reference and are not implemented here
+
+
+def _noop_dest(f: str) -> str:
+    d = f.replace("-", "_").replace(".", "_")
+    return "noop_n" + d if d[0].isdigit() else "noop_" + d
+
+
+def _add_compat_noops(p: argparse.ArgumentParser) -> None:
+    g = p.add_argument_group("reference-compatibility no-ops")
+    for f in _NOOP_FLAGS0:
+        g.add_argument("--" + f, action="store_true", dest=_noop_dest(f),
+                       help=argparse.SUPPRESS)
+    for f in _NOOP_FLAGS1:
+        g.add_argument("--" + f, metavar="<x>", dest=_noop_dest(f),
+                       help=argparse.SUPPRESS)
+    for f in _NOOP_SHORT0:
+        g.add_argument(f, action="store_true",
+                       dest="noop_short_" + f[1:], help=argparse.SUPPRESS)
+    for f in _NOOP_SHORT1:
+        g.add_argument(f, metavar="<x>",
+                       dest="noop_short_" + f[1:], help=argparse.SUPPRESS)
+    g.add_argument("--quals", "-Q", metavar="<files>",
+                   dest="unsup_quals", help=argparse.SUPPRESS)
+    g.add_argument("--sra-acc", metavar="<acc>",
+                   dest="unsup_sra_acc", help=argparse.SUPPRESS)
 
 
 def _split(arg: Optional[str]) -> List[str]:
@@ -352,12 +451,24 @@ def run(argv: List[str]) -> int:
         exclude_taxids=_parse_taxids(args.exclude_taxids),
     )
     n_const, n_coef = _parse_nceil(args.n_ceil)
-    cfg = PipelineConfig(classifier=cls_cfg, seed=args.seed, columns=columns,
+    run_seed = args.seed
+    if args.non_deterministic:
+        # reference: rndArb.init((uint32_t)time(0)) and per-read draws
+        # (centrifuge.cpp:2456-2458); here one time-derived global seed
+        run_seed = int(time.time()) & 0xFFFFFFFF
+    met_read_path = args.met_read if isinstance(args.met_read, str) else ""
+    cfg = PipelineConfig(classifier=cls_cfg, seed=run_seed, columns=columns,
                          qc_filter=args.qc_filter,
-                         met_read=args.met_read or "",
+                         met_read=met_read_path,
                          n_ceil_const=n_const, n_ceil_coef=n_coef)
     qconf = QualConfig(solexa=args.solexa_quals, phred64=args.phred64,
                        int_quals=args.int_quals)
+    if args.unsup_quals:
+        print("Warning: -Q/--quals (separate quality files) is not "
+              "supported; qualities default to 'I'", file=sys.stderr)
+    if args.unsup_sra_acc:
+        print("Warning: --sra-acc (SRA input) is not supported",
+              file=sys.stderr)
 
     if args.engine == "tpu":
         from ..classify.tpu_pipeline import TPUClassificationPipeline
@@ -378,9 +489,10 @@ def run(argv: List[str]) -> int:
     unpaired = _split(args.unpaired) + list(args.reads)
     m1 = _split(args.mates1)
     m2 = _split(args.mates2)
-    if not unpaired and not m1 and not args.tab12:
-        print("Error: must specify -U, -1/-2, --12, or positional read "
-              "files", file=sys.stderr)
+    if not unpaired and not m1 and not args.tab12 \
+            and not args.tab5 and not args.tab6:
+        print("Error: must specify -U, -1/-2, --12, --tab5/--tab6, or "
+              "positional read files", file=sys.stderr)
         return 1
     if len(m1) != len(m2):
         print("Error: -1 and -2 must have the same number of files",
@@ -390,6 +502,23 @@ def run(argv: List[str]) -> int:
     skip = args.skip
     budget = args.upto if args.upto > 0 else None
     nread = 0
+
+    sample_keep = None
+    if args.sample < 1.0:
+        # reference gate (centrifuge.cpp:2459-2462):
+        #   rnd.init(ROTL(seed, 2)); sample = rnd.nextFloat() < frac
+        # where ROTL's macro args are swapped (#define ROTL(n, x),
+        # centrifuge.cpp:2229), so it actually rotates the CONSTANT 2
+        # left by `seed` bits -- x86 shifts truncate the count mod 32.
+        # nextFloat() = nextU32() / 0xffffffff in float32.
+        from ..utils.rng import LCG, gen_read_seed
+        frac32 = np.float32(args.sample)
+
+        def sample_keep(rec):
+            s = int(gen_read_seed(rec.seq, rec.qual, rec.name, run_seed))
+            init = ((2 << (s & 31)) | (2 >> ((32 - s) & 31))) & 0xFFFFFFFF
+            u = LCG(init).next_u32()
+            return np.float32(u) / np.float32(0xFFFFFFFF) < frac32
 
     def batches(it, size):
         buf = []
@@ -421,8 +550,11 @@ def run(argv: List[str]) -> int:
                     continue
                 if budget is not None and nread >= budget:
                     return
-                nread += 1
-                yield _trim(rec, args.trim5, args.trim3)
+                nread += 1  # sampled-out reads still consume -u (rdid)
+                rec = _trim(rec, args.trim5, args.trim3)
+                if sample_keep is not None and not sample_keep(rec):
+                    continue
+                yield rec
 
     def pairs_iter(p1, p2):
         nonlocal skip, nread
@@ -440,8 +572,12 @@ def run(argv: List[str]) -> int:
                 if budget is not None and nread >= budget:
                     return
                 nread += 1
-                yield (_trim(r1, args.trim5, args.trim3),
-                       _trim(r2, args.trim5, args.trim3))
+                r1 = _trim(r1, args.trim5, args.trim3)
+                r2 = _trim(r2, args.trim5, args.trim3)
+                # sampling keys on the mate-1 (bufa) seed
+                if sample_keep is not None and not sample_keep(r1):
+                    continue
+                yield (r1, r2)
             if next(it2, None) is not None:
                 print("Error, fewer reads in file specified with -1 than "
                       "in file specified with -2", file=sys.stderr)
@@ -461,6 +597,8 @@ def run(argv: List[str]) -> int:
                 r1 = _trim(r1, args.trim5, args.trim3)
                 if r2 is not None:
                     r2 = _trim(r2, args.trim5, args.trim3)
+                if sample_keep is not None and not sample_keep(r1):
+                    continue
                 yield (r1, r2)
 
     if args.cmdline:
@@ -484,6 +622,12 @@ def run(argv: List[str]) -> int:
 
     from ..utils.metrics import MetricsEmitter
     met = MetricsEmitter(args.met_file, args.met_stderr, args.met)
+    if args.met_read is True:
+        # bare --met-read/--metrics-per-read (reference arity): per-read
+        # rows ride the --met-file / --met-stderr sinks
+        from ..utils.metrics import PerReadMetricsWriter
+        sink = met.fh if met.fh is not None else sys.stderr
+        pipe.met_read = PerReadMetricsWriter(stream=sink)
 
     if args.engine == "tpu":
         # pipelined host/device streaming; the tee consumes output rows
@@ -500,6 +644,13 @@ def run(argv: List[str]) -> int:
             # input order (pat.h TabbedPatternSource)
             pair_src = itertools.chain(pair_src,
                                        tab12_iter(_split(args.tab12)))
+        for tabf in (args.tab5, args.tab6):
+            # --tab5/--tab6 rows are always paired (TAB_MATE5/6,
+            # centrifuge.cpp:976-977); field count distinguishes the
+            # shared-name 5-field from the per-mate-name 6-field form
+            if tabf:
+                pair_src = itertools.chain(pair_src,
+                                           tab12_iter(_split(tabf)))
         for rows in pipe.classify_stream_paired(
                 batches(pair_src, args.batch_size)):
             for row in rows:

@@ -123,8 +123,11 @@ class PerReadMetricsWriter:
     emits a full interval row per read, centrifuge.cpp:2742-2748; the
     column set here is the adapted per-read subset of our counters)."""
 
-    def __init__(self, path: str):
-        self.fh = open(path, "w")
+    def __init__(self, path: str = "", stream: Optional[TextIO] = None):
+        # bare --met-read (reference arity, centrifuge.cpp:546-547)
+        # borrows the --met-file/stderr sink; a path owns its own file
+        self._owns = stream is None
+        self.fh = open(path, "w") if stream is None else stream
         self.fh.write("\t".join(PER_READ_COLUMNS) + "\n")
         self.t0 = time.time()
 
@@ -137,4 +140,5 @@ class PerReadMetricsWriter:
             "1" if n_assignments > 0 else "0", str(n_assignments)]) + "\n")
 
     def close(self) -> None:
-        self.fh.close()
+        if self._owns:
+            self.fh.close()

@@ -470,6 +470,79 @@ def test_tab12_mixed_rows(tmp_path):
         os.path.join(fx, "golden_tab12_mixed.tsv")).read()
 
 
+def test_tab5_tab6_paired(tmp_path):
+    """--tab5/--tab6 paired tabbed formats (centrifuge.cpp:976-977).
+    The reference BINARY also ignores these (same dead mates12 list as
+    --12, centrifuge.cpp:3007), so the expected bytes are the reference
+    run on the equivalent -1/-2 files: identical seqs/quals, and the
+    per-read seed only uses the name up to '/' (pat.h:55-91), so the
+    tab5 shared name and the tab6 /1 name both hash identically."""
+    fx = fixture_path("synth")
+    for flag, fixture in (("--tab5", "reads_pairs.tab5"),
+                          ("--tab6", "reads_pairs.tab6")):
+        out = tmp_path / f"o{flag[2:]}.tsv"
+        r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                     flag, os.path.join(fx, fixture),
+                     "-S", str(out), "--report-file", ""])
+        assert r.returncode == 0, r.stderr
+        assert out.read_text() == open(
+            os.path.join(fx, "golden_paired.tsv")).read(), flag
+
+
+def test_sample_parity(tmp_path):
+    """--sample 0.5: pseudo-random per-read sampling gate, byte-exact vs
+    the reference binary (centrifuge.cpp:2459-2462 incl. the swapped-arg
+    ROTL macro at :2229 that rotates the constant 2 by `seed` bits)."""
+    fx = fixture_path("synth")
+    out = tmp_path / "o.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-U", os.path.join(fx, "reads.fq"),
+                 "--sample", "0.5",
+                 "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == open(
+        os.path.join(fx, "golden_sample50.tsv")).read()
+
+
+def test_sample_upto_budget(tmp_path):
+    """--sample with -u: sampled-out reads still consume the -u budget
+    (the reference gates on rdid < qUpto before the sample draw,
+    centrifuge.cpp:2463)."""
+    fx = fixture_path("synth")
+    out = tmp_path / "o.tsv"
+    r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
+                 "-U", os.path.join(fx, "reads.fq"),
+                 "--sample", "0.5", "-u", "1500",
+                 "-S", str(out), "--report-file", ""])
+    assert r.returncode == 0, r.stderr
+    assert out.read_text() == open(
+        os.path.join(fx, "golden_sample50_u1500.tsv")).read()
+
+
+def test_reference_flag_surface_parses():
+    """Every long option the reference binary accepts
+    (centrifuge.cpp:530-706) parses here with the same arity, so any
+    reference command line runs unmodified; bowtie2-legacy tuning
+    options are documented no-ops."""
+    from centrifuge_tpu.cli.classify import make_parser
+    p = make_parser()
+    args = p.parse_args(
+        ["-x", "i", "-U", "r",
+         "--local", "--end-to-end", "--all", "--ff", "--fr", "--rf",
+         "--no-mixed", "--no-discordant", "--dovetail", "--verbose",
+         "--ma", "2", "--mp", "6,2", "--np", "1", "--rdg", "5,3",
+         "--rfg", "5,3", "--score-min", "L,0,1.15", "--min-score", "60",
+         "--dpad", "15", "--gbar", "4", "--seedlen", "22",
+         "--multiseed", "L,1,1.15", "--wrapper", "basic-0",
+         "-a", "-I", "0", "-X", "500", "-N", "0", "-L", "20",
+         "--qupto", "100", "--khits", "3", "--metrics", "5",
+         "--metrics-file", "m.tsv", "--metrics-stderr",
+         "--phred33-quals", "--nondeterministic"])
+    assert args.upto == 100 and args.khits == 3
+    assert args.met == 5 and args.met_file == "m.tsv" and args.met_stderr
+    assert args.non_deterministic
+
+
 def test_paired_seq_cols_parity(tmp_path):
     """Paired readSeq/readQual join mates with '_' (aln_sink.h:2307-2310)."""
     fx = fixture_path("synth")
