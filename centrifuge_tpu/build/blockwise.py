@@ -9,7 +9,10 @@ consumes the SA block stream emitting basename.{1,2,4}.cf byte-identically
 to the in-memory writer (writer.py build_arrays) -- which is itself
 byte-identical to the reference binary. Peak memory is
 O(n/4 text + 2n bucket ids + n/4 sample ranks + 8*bmax block), vs
-~16 B/base for the all-in-RAM SA-IS path.
+~16 B/base for the all-in-RAM SA-IS path. The text stays 2-bit packed
+end-to-end (ref_read.PackedCodes: scan_fastas(packed=True) packs while
+scanning, the writer fancy-indexes the packed buffer directly), so no
+1 B/base uint8 codes array ever materializes on this path.
 """
 
 from __future__ import annotations
@@ -58,20 +61,25 @@ def _load_native():
 class BlockwiseSA:
     """Iterate the suffix array of `codes` in sorted O(bmax) blocks."""
 
-    def __init__(self, codes: np.ndarray, bmax: int, dcv: int = 1024,
+    def __init__(self, codes, bmax: int, dcv: int = 1024,
                  nthreads: int = None):
         if dcv & (dcv - 1) or dcv < 16:
             raise ValueError("--dcv must be a power of 2 >= 16")
         lib = _load_native()
+        from .ref_read import PackedCodes
         n = codes.shape[0]
-        # 2-bit pack with tail padding for the 64-bit fetches
-        npad = (n + 3) // 4 + 16
-        q = np.zeros(((n + 3) // 4) * 4, np.uint8)
-        q[:n] = codes
-        q = q.reshape(-1, 4)
-        self._packed = np.zeros(npad, np.uint8)
-        self._packed[: q.shape[0]] = (
-            q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6))
+        if isinstance(codes, PackedCodes):
+            # already 2-bit packed (+16 pad bytes): hand the buffer over
+            self._packed = np.ascontiguousarray(codes.packed)
+        else:
+            # 2-bit pack with tail padding for the 64-bit fetches
+            npad = (n + 3) // 4 + 16
+            q = np.zeros(((n + 3) // 4) * 4, np.uint8)
+            q[:n] = codes
+            q = q.reshape(-1, 4)
+            self._packed = np.zeros(npad, np.uint8)
+            self._packed[: q.shape[0]] = (
+                q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6))
         self.n = n
         self.lib = lib
         self.ctx = lib.bsa_create(self._packed, n, dcv, bmax,

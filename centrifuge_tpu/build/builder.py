@@ -30,7 +30,9 @@ def build_index(fasta_paths: List[str], basename: str,
                 blockwise: Optional[bool] = None,
                 nthreads: Optional[int] = None) -> None:
     t0 = time.time()
-    codes, szs, refnames, plen = scan_fastas(fasta_paths)
+    # scan 2-bit packed (0.25 B/base): the blockwise path keeps the
+    # packed text end-to-end; the small in-memory SA-IS path unpacks
+    codes, szs, refnames, plen = scan_fastas(fasta_paths, packed=True)
     if verbose:
         print(f"  scanned {len(refnames)} sequences, "
               f"{codes.shape[0]} bases ({time.time()-t0:.1f}s)")
@@ -41,6 +43,8 @@ def build_index(fasta_paths: List[str], basename: str,
             or codes.shape[0] >= AUTO_BLOCKWISE_BASES
     t0 = time.time()
     try:
+        if not blockwise:
+            codes = codes.unpack()
         if blockwise:
             from .blockwise import write_index_blockwise
             write_index_blockwise(

@@ -39,10 +39,98 @@ class RefRecord:
     first: bool  # first record of a sequence
 
 
-def scan_fastas(paths: List[str]):
+class PackedCodes:
+    """2-bit packed base codes (0.25 B/base) with numpy fancy indexing.
+
+    Drop-in for the uint8 codes array wherever only `shape`, `len()`,
+    and integer-array indexing are used (the streaming index writer and
+    the blockwise sorter). The reference keeps its whole text 2-bit
+    packed for exactly this reason (blockwise_sa.h works on a packed
+    SString); the uint8 array it replaces costs 4x the RAM -- 64 GB at
+    nt scale. The buffer carries 16 padding bytes so blocksa.cpp's
+    unaligned 64-bit fetches stay in bounds (bsa_create contract).
+    """
+
+    __slots__ = ("packed", "n")
+
+    def __init__(self, n: int, packed: "np.ndarray"):
+        self.n = int(n)
+        self.packed = packed
+
+    @classmethod
+    def from_codes(cls, codes: "np.ndarray") -> "PackedCodes":
+        b = PackedCodesBuilder()
+        b.append(codes)
+        return b.finish()
+
+    @property
+    def shape(self):
+        return (self.n,)
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, idx):
+        idx = np.asarray(idx)
+        b = self.packed[idx >> 2]
+        sh = ((idx & 3) << 1).astype(np.uint8)
+        return ((b >> sh) & 3).astype(np.uint8)
+
+    def unpack(self) -> "np.ndarray":
+        """Full uint8 codes array (for the in-memory SA-IS path)."""
+        nbytes = (self.n + 3) // 4
+        b = self.packed[:nbytes]
+        out = np.empty(nbytes * 4, np.uint8)
+        out[0::4] = b & 3
+        out[1::4] = (b >> 2) & 3
+        out[2::4] = (b >> 4) & 3
+        out[3::4] = (b >> 6) & 3
+        return out[: self.n]
+
+
+class PackedCodesBuilder:
+    """Append uint8 code chunks, storing them 2-bit packed as they
+    arrive, so the scan never holds more than one chunk unpacked."""
+
+    def __init__(self):
+        self.parts: List[np.ndarray] = []
+        self.carry = np.zeros(0, np.uint8)  # 0..3 unpacked tail codes
+        self.n = 0
+
+    def append(self, arr: "np.ndarray") -> None:
+        self.n += int(arr.shape[0])
+        a = (np.concatenate([self.carry, arr])
+             if self.carry.shape[0] else arr)
+        nfull = a.shape[0] // 4
+        q = a[: nfull * 4].reshape(-1, 4).astype(np.uint16)
+        self.parts.append(
+            (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4)
+             | (q[:, 3] << 6)).astype(np.uint8))
+        self.carry = a[nfull * 4:].copy()
+
+    def finish(self) -> PackedCodes:
+        tail = np.zeros(1, np.uint8)
+        for i, c in enumerate(self.carry):
+            tail[0] |= np.uint8(c) << np.uint8(2 * i)
+        nbytes = (self.n + 3) // 4
+        packed = np.zeros(nbytes + 16, np.uint8)
+        pos = 0
+        for p in self.parts:
+            packed[pos: pos + p.shape[0]] = p
+            pos += p.shape[0]
+        if self.carry.shape[0]:
+            packed[pos] = tail[0]
+        return PackedCodes(self.n, packed)
+
+
+def scan_fastas(paths: List[str], packed: bool = False):
     """Scan FASTA files into (codes, szs, refnames, plen).
 
-    codes: uint8[joined_len] 2-bit codes of all unambiguous characters.
+    codes: uint8[joined_len] 2-bit codes of all unambiguous characters,
+           or a PackedCodes (0.25 B/base) when packed=True -- the
+           bounded-memory build path packs as it scans so the unpacked
+           text never materializes (transient peak is one input file's
+           raw bytes).
     szs:   List[RefRecord] in file order.
     refnames: full header lines of non-empty sequences.
     plen: per-sequence length INCLUDING interior/leading/trailing
@@ -52,6 +140,7 @@ def scan_fastas(paths: List[str]):
     refnames: List[str] = []
     plen: List[int] = []
     chunks: List[np.ndarray] = []
+    pbuf = PackedCodesBuilder() if packed else None
 
     for path in paths:
         with open(path, "rb") as f:
@@ -100,9 +189,14 @@ def scan_fastas(paths: List[str]):
                     szs.append(RefRecord(pending_gap, int(e - s), first))
                     first = False
                     pending_gap = 0
-                    chunks.append(_CODE[arr[s:e]])
+                    if pbuf is not None:
+                        pbuf.append(_CODE[arr[s:e]])
+                    else:
+                        chunks.append(_CODE[arr[s:e]])
                 else:
                     pending_gap = int(e - s)
+    if pbuf is not None:
+        return pbuf.finish(), szs, refnames, plen
     codes = (np.concatenate(chunks) if chunks
              else np.zeros(0, dtype=np.uint8))
     return codes, szs, refnames, plen

@@ -109,6 +109,33 @@ def test_blockwise_build_byte_parity(tmp_path, bmax, dcv):
         assert filecmp.cmp(ours, ref, shallow=False), f".{ext}.cf differs"
 
 
+def test_packed_codes_scan_roundtrip(tmp_path):
+    """packed=True scanning (0.25 B/base, the nt-scale memory path)
+    yields byte-identical codes to the uint8 scan, and PackedCodes
+    fancy indexing / unpack match the plain array."""
+    from centrifuge_tpu.build.ref_read import PackedCodes
+    fx = fixture_path("synth")
+    paths = [os.path.join(fx, "db.fa")]
+    codes, szs, refnames, plen = scan_fastas(paths)
+    pcodes, szs2, refnames2, plen2 = scan_fastas(paths, packed=True)
+    assert isinstance(pcodes, PackedCodes)
+    assert (szs, refnames, plen) == (szs2, refnames2, plen2)
+    assert pcodes.shape == codes.shape
+    assert np.array_equal(pcodes.unpack(), codes)
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, codes.shape[0], size=4096)
+    assert np.array_equal(pcodes[idx], codes[idx])
+    # odd-length appends exercise the 2-bit carry path
+    from centrifuge_tpu.build.ref_read import PackedCodesBuilder
+    b = PackedCodesBuilder()
+    pos = 0
+    for step in (1, 2, 3, 5, 7, 11, 4096, 333):
+        b.append(codes[pos: pos + step])
+        pos += step
+    b.append(codes[pos:])
+    assert np.array_equal(b.finish().unpack(), codes)
+
+
 def test_blockwise_sa_matches_sais():
     """Blockwise SA order == SA-IS order, including the end-larger
     convention, on repetitive texts."""
