@@ -24,6 +24,7 @@ COLUMNS = [
     "resolve_rows", "resolve_miss_rows",
     "upload_bytes", "download_bytes", "collect_wait_secs", "device_overlap",
     "reads_classified", "reads_unclassified", "assignments",
+    "memory_peak_mb",
     "reads_per_sec",
 ]
 
@@ -52,6 +53,16 @@ class PerfMetrics:
     def merge(self, other: "PerfMetrics") -> None:
         for f in self.__dataclass_fields__:
             setattr(self, f, getattr(self, f) + getattr(other, f))
+
+
+def _peak_rss_mb() -> int:
+    """Host peak RSS in MB (the reference's 'Overall memory peak'
+    column, centrifuge.cpp:2113-2115 via gMemTally.peak())."""
+    try:
+        import resource
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss >> 10
+    except Exception:
+        return 0
 
 
 class MetricsEmitter:
@@ -103,7 +114,8 @@ class MetricsEmitter:
                 str(m.upload_bytes), str(m.download_bytes),
                 f"{m.collect_wait_secs:.2f}", f"{overlap:.3f}",
                 str(m.reads_classified), str(m.reads_unclassified),
-                str(m.assignments), f"{m.reads / max(secs, 1e-9):.1f}"]
+                str(m.assignments), str(_peak_rss_mb()),
+                f"{m.reads / max(secs, 1e-9):.1f}"]
         self._write("\t".join(vals))
 
     def close(self, m: PerfMetrics) -> None:
