@@ -6,13 +6,63 @@ from centrifuge_tpu.report.hll import (HyperLogLogPlus, kmers_of,
                                        murmur3_finalizer)
 
 
-def test_sparse_exact():
+def test_sparse_near_exact():
     h = HyperLogLogPlus()
     items = np.arange(1000, dtype=np.uint64)
     h.add(items)
-    assert h.cardinality() == 1000
+    # sparse linear counting over the 2^24 encoding space: within 1
+    # of exact (the reference truncates the double estimate)
+    assert abs(h.cardinality() - 1000) <= 1
+    before = h.cardinality()
     h.add(items)  # duplicates do not change the count
-    assert h.cardinality() == 1000
+    assert h.cardinality() == before
+
+
+def _ranhash(u: np.ndarray) -> np.ndarray:
+    """Numerical Recipes ranhash (hyperloglogplus.h:60-70), vectorized;
+    the golden generator (tests/tools/gen_hll_golden.cpp) feeds the
+    sketch with this stream."""
+    with np.errstate(over="ignore"):
+        v = u.astype(np.uint64) * np.uint64(3935559000370003845) \
+            + np.uint64(2691343689449507681)
+        v ^= v >> np.uint64(21)
+        v ^= v << np.uint64(37)
+        v ^= v >> np.uint64(4)
+        v *= np.uint64(4768777513237032717)
+        v ^= v << np.uint64(20)
+        v ^= v >> np.uint64(41)
+        v ^= v << np.uint64(5)
+    return v
+
+
+def test_reference_bit_exact():
+    """Estimates equal the reference C++ header's, value for value
+    (tests/fixtures/hll_golden.json from tests/tools/gen_hll_golden.cpp)."""
+    import json
+    from conftest import fixture_path
+    golden = json.load(open(fixture_path("hll_golden.json")))
+    for key, want in golden.items():
+        if key.startswith("merge"):
+            continue
+        n = int(key)
+        h = HyperLogLogPlus(10)
+        items = _ranhash(np.arange(n, dtype=np.uint64))
+        # generator adds every item once, every 3rd item twice
+        h.add(items)
+        h.add(items[::3])
+        assert h.cardinality() == want, (n, h.cardinality(), want)
+
+    a, b = HyperLogLogPlus(10), HyperLogLogPlus(10)
+    a.add(_ranhash(np.arange(0, 700, dtype=np.uint64)))
+    b.add(_ranhash(np.arange(500, 1300, dtype=np.uint64)))
+    a.merge(b)
+    assert a.cardinality() == golden["merge_700_1300"]
+
+    a, b = HyperLogLogPlus(10), HyperLogLogPlus(10)
+    a.add(_ranhash(np.arange(0, 30000, dtype=np.uint64)))
+    b.add(_ranhash(np.arange(20000, 20500, dtype=np.uint64)))
+    a.merge(b)
+    assert a.cardinality() == golden["merge_dense_sparse"]
 
 
 def test_dense_estimate_within_tolerance():
