@@ -61,8 +61,17 @@ struct Ctx {
     i64 m = 0;                   // sample count
 
     std::vector<i64> bounds;     // boundary sample positions, ascending order
-    std::vector<u16> bucket_of;  // per text position
+    // per text position: u8 ids when <=256 blocks (the common case --
+    // bmax >= n/256 -- halving the largest build-RAM term at nt scale),
+    // u16 otherwise
+    std::vector<u8> bucket8;
+    std::vector<u16> bucket16;
+    bool use8 = true;
     std::vector<i64> bucket_cnt;
+
+    inline u16 bucket_at(i64 p) const {
+        return use8 ? (u16)bucket8[p] : bucket16[p];
+    }
 
     inline int ch(i64 p) const {
         return (text[p >> 2] >> ((p & 3) << 1)) & 3;
@@ -220,22 +229,19 @@ void build_sample_ranks(Ctx& c) {
     // sample positions in sample-index order are implicit:
     // index = (p/v)*|D| + didx[p%v]
     i64 nper = (n + v - 1) / v;
-    c.m = 0;
-    std::vector<i64> pos;
-    pos.reserve(nper * dsz);
+    std::vector<i64> order;
+    order.reserve(nper * dsz);
     for (i64 q = 0; q < nper; q++)
         for (i64 k = 0; k < dsz; k++) {
             i64 p = q * v + c.D[k];
-            if (p < n) pos.push_back(p);
+            if (p < n) order.push_back(p);
         }
     // NOTE: positions from the tail residues may be >= n and skipped, so
     // sample_index needs a dense map only when every (q, k) slot < n; to
     // keep O(1) lookup we rank ALL slots and give out-of-range slots a
     // sentinel (they are never looked up).
     i64 m_slots = nper * dsz;
-    c.m = (i64)pos.size();
-
-    std::vector<i64> order(pos);
+    c.m = (i64)order.size();
     // initial sort by first v chars (strict order on mismatch/end; ties
     // only when the first v chars agree entirely)
     psort(order.data(), (i64)order.size(), [&](i64 a, i64 b) {
@@ -315,7 +321,9 @@ void build_sample_ranks(Ctx& c) {
 void assign_buckets(Ctx& c) {
     const i64 n = c.n;
     i64 nb = (i64)c.bounds.size() + 1;
-    c.bucket_of.assign(n, 0);
+    c.use8 = nb <= 256;
+    if (c.use8) c.bucket8.assign(n, 0);
+    else c.bucket16.assign(n, 0);
     c.bucket_cnt.assign(nb, 0);
     int nt = std::max(1, c.nthreads);
     std::vector<std::vector<i64>> cnts(nt, std::vector<i64>(nb, 0));
@@ -332,7 +340,8 @@ void assign_buckets(Ctx& c) {
                     if (c.compare(c.bounds[mid], p) < 0) a = mid + 1;
                     else b = mid;
                 }
-                c.bucket_of[p] = (u16)a;
+                if (c.use8) c.bucket8[p] = (u8)a;
+                else c.bucket16[p] = (u16)a;
                 cnts[t][a]++;
             }
         });
@@ -389,8 +398,15 @@ i64 bsa_block(void* ctx, i64 b, i64* out, i64 cap) {
             ths.emplace_back([&, t]() {
                 i64 lo = t * chunk, hi = std::min(c->n, lo + chunk);
                 auto& dst = part[t];
-                for (i64 p = lo; p < hi; p++)
-                    if (c->bucket_of[p] == b) dst.push_back(p);
+                if (c->use8) {
+                    const u8* ids = c->bucket8.data();
+                    for (i64 p = lo; p < hi; p++)
+                        if (ids[p] == (u8)b) dst.push_back(p);
+                } else {
+                    const u16* ids = c->bucket16.data();
+                    for (i64 p = lo; p < hi; p++)
+                        if (ids[p] == (u16)b) dst.push_back(p);
+                }
             });
         }
         for (auto& th : ths) th.join();

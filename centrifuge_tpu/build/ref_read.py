@@ -123,14 +123,71 @@ class PackedCodesBuilder:
         return PackedCodes(self.n, packed)
 
 
+def _iter_fasta(path: str, chunksize: int = 1 << 25):
+    """Stream (header, body_bytes) records from a FASTA file.
+
+    Reads the file in `chunksize` pieces so peak memory is one chunk
+    plus one sequence body, never the whole file (the reference
+    similarly streams through FileBuf, ref_read.cpp:28-180; holding raw
+    nt-scale inputs in RAM would defeat --bmax's bounded-memory point,
+    blockwise_sa.h:242-309). Matches the previous whole-file parser
+    byte-for-byte: any '>' opens a header (bodies never contain one), a
+    trailing header without a newline is dropped.
+    """
+    name = None
+    hdr_parts: List[bytes] = []
+    body_parts: List[bytes] = []
+    in_header = False
+    with open(path, "rb") as f:
+        while True:
+            data = f.read(chunksize)
+            if not data:
+                break
+            pos = 0
+            n = len(data)
+            while pos < n:
+                if name is None and not in_header:
+                    gt = data.find(b">", pos)
+                    if gt < 0:
+                        pos = n
+                    else:
+                        in_header = True
+                        pos = gt + 1
+                elif in_header:
+                    eol = data.find(b"\n", pos)
+                    if eol < 0:
+                        hdr_parts.append(data[pos:])
+                        pos = n
+                    else:
+                        hdr_parts.append(data[pos:eol])
+                        name = b"".join(hdr_parts).rstrip(b"\r").decode()
+                        hdr_parts = []
+                        in_header = False
+                        pos = eol + 1
+                else:
+                    gt = data.find(b">", pos)
+                    if gt < 0:
+                        body_parts.append(data[pos:])
+                        pos = n
+                    else:
+                        body_parts.append(data[pos:gt])
+                        yield name, b"".join(body_parts)
+                        body_parts = []
+                        name = None
+                        in_header = True
+                        pos = gt + 1
+    if name is not None:
+        yield name, b"".join(body_parts)
+
+
 def scan_fastas(paths: List[str], packed: bool = False):
     """Scan FASTA files into (codes, szs, refnames, plen).
 
     codes: uint8[joined_len] 2-bit codes of all unambiguous characters,
            or a PackedCodes (0.25 B/base) when packed=True -- the
-           bounded-memory build path packs as it scans so the unpacked
-           text never materializes (transient peak is one input file's
-           raw bytes).
+           bounded-memory build path packs as it scans AND streams each
+           input file in chunks, so peak memory is the packed text plus
+           one sequence, not the raw file.
     szs:   List[RefRecord] in file order.
     refnames: full header lines of non-empty sequences.
     plen: per-sequence length INCLUDING interior/leading/trailing
@@ -143,23 +200,7 @@ def scan_fastas(paths: List[str], packed: bool = False):
     pbuf = PackedCodesBuilder() if packed else None
 
     for path in paths:
-        with open(path, "rb") as f:
-            data = f.read()
-        pos = 0
-        n = len(data)
-        while pos < n:
-            # find next header
-            gt = data.find(b">", pos)
-            if gt < 0:
-                break
-            eol = data.find(b"\n", gt)
-            if eol < 0:
-                break
-            name = data[gt + 1:eol].rstrip(b"\r").decode()
-            nxt = data.find(b">", eol)
-            body = data[eol + 1: nxt if nxt >= 0 else n]
-            pos = nxt if nxt >= 0 else n
-
+        for name, body in _iter_fasta(path):
             arr = np.frombuffer(body, dtype=np.uint8)
             cat = _CAT[arr]
             keep = cat > 0

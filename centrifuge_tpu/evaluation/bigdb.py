@@ -85,6 +85,88 @@ def ensure_bigdb(workdir: str, verbose: bool = False) -> str:
     return base
 
 
+PC_N_GENOMES = 3000    # 3000 x 4 Mbp = 12 Gbp: the p_compressed class
+                       # (reference README.md:41-43 -- 4.2-12 GB indexes;
+                       # ours: ~3.4 GB .1.cf + ~1.5 GB .2.cf)
+
+
+def ensure_pcdb(workdir: str, verbose: bool = False,
+                n_genomes: int = PC_N_GENOMES,
+                n_reads: int = 131072) -> str:
+    """Create (or reuse) the production-scale DB + index under workdir.
+
+    12 Gbp across 3000 synthetic genomes, built with the bounded-memory
+    blockwise path (the in-memory SA-IS would need ~280 GB here). This
+    is the scale where the reference CPU engine leaves its caches for
+    good (BASELINE.md:53-60) and the BASELINE >=10x/host target is
+    defined. Returns the index basename; also simulates `n_reads`
+    100 bp reads (pc_reads.fq).
+    """
+    import resource
+    import time as _t
+    os.makedirs(workdir, exist_ok=True)
+    base = os.path.join(workdir, "pcdb")
+    reads = os.path.join(workdir, "pc_reads.fq")
+    if os.path.exists(base + ".1.cf") and os.path.exists(reads):
+        return base
+
+    rng = np.random.default_rng(SEED + 2)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    fa = os.path.join(workdir, "pcdb.fa")
+    conv = os.path.join(workdir, "pconv.dmp")
+    nodes = os.path.join(workdir, "pnodes.dmp")
+    names = os.path.join(workdir, "pnames.dmp")
+
+    if not os.path.exists(fa):
+        if verbose:
+            print(f"generating {n_genomes * GENOME_LEN / 1e9:.1f} Gbp "
+                  "database ...", flush=True)
+        with open(fa, "wb") as f, open(conv, "w") as cf:
+            for g in range(n_genomes):
+                tid = 1000 + g
+                seq = bases[rng.integers(0, 4, GENOME_LEN)]
+                f.write(b">pseq%d pc benchmark genome\n" % g)
+                f.write(b"\n".join(
+                    seq[i: i + 80].tobytes()
+                    for i in range(0, GENOME_LEN, 80)) + b"\n")
+                cf.write(f"pseq{g}\t{tid}\n")
+        with open(nodes, "w") as f:
+            f.write("1\t|\t1\t|\tno rank\t|\n")
+            for ge in range(64):
+                f.write(f"{100+ge}\t|\t1\t|\tgenus\t|\n")
+            for s in range(n_genomes):
+                f.write(f"{1000+s}\t|\t{100 + s % 64}\t|\tspecies\t|\n")
+        with open(names, "w") as f:
+            f.write("1\t|\troot\t|\t\t|\tscientific name\t|\n")
+            for s in range(n_genomes):
+                f.write(f"{1000+s}\t|\tPcSpecies{s}\t|\t\t|\t"
+                        "scientific name\t|\n")
+
+    if not os.path.exists(base + ".1.cf"):
+        if verbose:
+            print("building 12 Gbp index (bounded blockwise) ...",
+                  flush=True)
+        t0 = _t.time()
+        from ..build.builder import build_index
+        n_total = n_genomes * GENOME_LEN
+        build_index([fa], base, conv, nodes, names, verbose=verbose,
+                    blockwise=True, bmax=n_total // 8)
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+        if verbose:
+            print(f"built in {_t.time()-t0:.0f}s; peak RSS "
+                  f"{rss/2**30:.1f} GiB = {rss/n_total:.2f} B/base",
+                  flush=True)
+
+    if not os.path.exists(reads):
+        if verbose:
+            print(f"simulating {n_reads} reads ...", flush=True)
+        from .simulate import SimConfig, simulate
+        simulate(fa, conv, os.path.join(workdir, "pc_reads"),
+                 SimConfig(num_fragments=n_reads, read_length=100,
+                           error_rate=0.002, seed=13))
+    return base
+
+
 WIDE_N_GENOMES = 550   # 550 x 4 Mbp = 2.2 Gbp > 2^31: the 64-bit regime
 
 

@@ -91,7 +91,7 @@ def test_built_index_classifies(tmp_path):
     assert rows == golden[: len(rows)]
 
 
-@pytest.mark.parametrize("bmax,dcv", [(100000, 1024), (23000, 256)])
+@pytest.mark.parametrize("bmax,dcv", [(100000, 1024), (23000, 256), (3200, 256)])
 def test_blockwise_build_byte_parity(tmp_path, bmax, dcv):
     """The bounded-memory blockwise builder (difference-cover sample +
     rank-quantile buckets + streaming emission, build/blocksa.cpp +
@@ -149,3 +149,42 @@ def test_blockwise_sa_matches_sais():
         got = np.concatenate(list(bsa.blocks()))
         bsa.close()
         np.testing.assert_array_equal(got, want)
+
+
+def test_streaming_writer_native_matches_python(tmp_path):
+    """The native per-block emitter (build/emit.cpp) and the numpy feed
+    (the oracle) must produce byte-identical .1/.2/.4.cf files."""
+    from centrifuge_tpu.build.blockwise import (BlockwiseSA,
+                                                StreamingIndexWriter)
+    from centrifuge_tpu.build.ref_read import PackedCodes
+    fx = fixture_path("synth")
+    codes, szs, refnames, plen = scan_fastas([os.path.join(fx, "db.fa")])
+    pcodes = PackedCodes.from_codes(codes)
+    conv = os.path.join(fx, "conv.dmp")
+    nodes = os.path.join(fx, "nodes.dmp")
+    names = os.path.join(fx, "names.dmp")
+    outs = []
+    for tag, native in (("nat", True), ("py", False)):
+        base = str(tmp_path / tag)
+        bsa = BlockwiseSA(pcodes, bmax=60000, dcv=512)
+        w = StreamingIndexWriter(base, pcodes, szs, refnames, plen,
+                                 native=native)
+        for blk in bsa.blocks():
+            w.feed(blk)
+        bsa.close()
+        w.finish(conv, nodes, names)
+        outs.append(base)
+    for ext in ("1", "2", "3", "4"):
+        assert filecmp.cmp(f"{outs[0]}.{ext}.cf", f"{outs[1]}.{ext}.cf",
+                           shallow=False), f".{ext}.cf differs"
+
+
+def test_fasta_streaming_chunks_match_whole_file():
+    """_iter_fasta with a tiny chunk size (forcing header/body splits at
+    every boundary) parses identically to one-shot reads."""
+    from centrifuge_tpu.build.ref_read import _iter_fasta
+    fx = os.path.join(fixture_path("synth"), "db.fa")
+    whole = list(_iter_fasta(fx, chunksize=1 << 30))
+    tiny = list(_iter_fasta(fx, chunksize=7))
+    assert whole == tiny
+    assert len(whole) == 24
