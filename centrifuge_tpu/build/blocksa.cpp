@@ -190,10 +190,14 @@ void psort(i64* data, i64 n, Cmp cmp, int nthreads) {
 void build_cover(Ctx& c) {
     i64 v = c.v;
     i64 r = 1;
-    while (r * r < v) r <<= 1;  // v is a power of two; r = sqrt(v)
+    while (r * r < v) r <<= 1;  // v is a power of two; r = ceil(sqrt(v))
     c.D.clear();
     for (i64 i = 0; i < r; i++) c.D.push_back((int)i);
-    for (i64 i = 1; i < r; i++) c.D.push_back((int)(i * r));
+    // for non-square powers of two (v = 2^odd: 32, 128, 512, ...) r*r =
+    // 2v, so the stride multiples must reduce mod v ({0..r-1} U {kr mod
+    // v} still covers every difference: d needs j = (-d) mod r in the
+    // first set and d + j a stride multiple, which mod v stays in D)
+    for (i64 i = 1; i < r; i++) c.D.push_back((int)((i * r) % v));
     std::sort(c.D.begin(), c.D.end());
     c.D.erase(std::unique(c.D.begin(), c.D.end()), c.D.end());
     c.didx.assign(v, -1);

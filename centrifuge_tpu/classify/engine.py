@@ -28,8 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fm_jax import (DeviceFMIndex, bwt_char_kernel, fused_step_lookup,
-                          lf_kernel)
+from ..ops.fm_jax import (DeviceFMIndex, bwt_char_kernel,
+                          fused_step_lookup1, lf_kernel)
 
 
 
@@ -37,13 +37,18 @@ from ..ops.fm_jax import (DeviceFMIndex, bwt_char_kernel, fused_step_lookup,
 class FMKernels:
     """The device primitives the search loop needs.
 
-    step_lookup: (starting[L], fi[L], rows_t[L], rows_b[L], chars[L]) ->
-                 (ftop, fbot, lf_t, lf_b, topchar); ONE gather serving
-                 both the ftab prime (starting lanes) and the LF rank
-                 (extending lanes) -- gathers are row-count-bound on TPU,
-                 so folding the ftab into the block-row gather removes an
-                 entire gather from the hot step. When None, the loop
-                 composes ftab_lookup + lf_pair (the sharded path).
+    step_lookup1: (starting, pending, fi, top, bot, chars) ->
+                 (ftop, fbot, lf_t, b2_row, topchar, in_reach); ONE row
+                 gather per lane per step (fm_jax.fused_step_lookup1):
+                 the ftab prime, the top rank, and -- when bot lies
+                 within reach of top's block, the common case -- the bot
+                 rank all come from the same gathered row; out-of-reach
+                 lanes defer one step (the loop's `pend` state) and read
+                 bot's block then. Gathers are row-count-bound on TPU,
+                 so this halves the hot-step cost vs the 2L-row form.
+                 When None, the loop composes ftab_lookup + lf_pair (the
+                 BWT-range-sharded path, which gathers top and bot rows
+                 through its own psum machinery).
     ftab_lookup: int32[B] packed-window ids -> (top[B], bot[B]).
     lf_pair:     (rows_t[B], rows_b[B], chars[B]) ->
                  (LF(top,c)[B], LF(bot,c)[B], BWT[top][B]).
@@ -58,7 +63,7 @@ class FMKernels:
     zoff: jnp.ndarray
     num_ftab: int
     row_dtype: object = jnp.int32
-    step_lookup: Callable = None
+    step_lookup1: Callable = None
 
 
 def _precompute_windows(rseq: jax.Array, ftab_chars: int):
@@ -215,6 +220,11 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         h_all=jnp.tile(jnp.array([-1, -1, 0, 0], idt),
                        (L, max_hits, 1)),
     )
+    if kern.step_lookup1 is not None:
+        # bot-out-of-reach deferral (one-row-per-lane stepping): the
+        # lane's frozen LF(top) while it waits one step for bot's block
+        state["pend"] = jnp.zeros(L, jnp.bool_)
+        state["t2p"] = jnp.zeros(L, idt)
     if count_steps:
         # lockstep-waste diagnostic: per-lane executed step count, so the
         # mean/max ratio (lanes idle while the slowest finishes) is
@@ -281,21 +291,24 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
             fN = (v >> 3) & 15
 
         # ---------------- merged device lookup ----------------
-        at_end_pre = extending & (dep >= n)
-        stepping = extending & (dep < n)
         cq = jnp.clip(c, 0, 3)
-        rows_t = jnp.where(stepping, top, 0)
-        # NOTE: pointing single-row lanes' bot gather at top's row (hoping
-        # duplicate rows coalesce) was measured: device compute unchanged
-        # (301 ms/16k-lane wide batch) -- the gather is row-count-bound,
-        # duplicates don't coalesce. Keep the straightforward form.
-        rows_b = jnp.where(stepping, bot, 0)
-        if kern.step_lookup is not None:
-            ftop, fbot, t2, b2_full, topchar = kern.step_lookup(
-                starting, fi, rows_t, rows_b, cq)
+        one_row = kern.step_lookup1 is not None
+        if one_row:
+            pend = s["pend"]
+            pending = extending & pend
+            at_end_pre = extending & ~pend & (dep >= n)
+            stepping = extending & ~pend & (dep < n)
+            ftop, fbot, t2, b2_row, topchar, in_reach = kern.step_lookup1(
+                starting, pending, fi, top, bot, cq)
         else:
+            pending = jnp.zeros_like(extending)
+            at_end_pre = extending & (dep >= n)
+            stepping = extending & (dep < n)
+            rows_t = jnp.where(stepping, top, 0)
+            rows_b = jnp.where(stepping, bot, 0)
             ftop, fbot = kern.ftab_lookup(fi)
-            t2, b2_full, topchar = kern.lf_pair(rows_t, rows_b, cq)
+            t2, b2_row, topchar = kern.lf_pair(rows_t, rows_b, cq)
+            in_reach = jnp.ones_like(stepping)
 
         # ---------------- start phase ----------------
         left = n - cur
@@ -311,12 +324,23 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         # ---------------- extend phase ----------------
         at_end = at_end_pre
         single = (bot - top) == 1
-        b2 = jnp.where(single, t2 + 1, b2_full)
-        fail = stepping & (
+        b2 = jnp.where(single, t2 + 1, b2_row)
+        # defer: multi-range lane whose bot rank needs bot's own block
+        # (and whose char is valid -- N fails right away, no rank needed)
+        defer = stepping & ~single & ~in_reach & (c <= 3)
+        fail = stepping & ~defer & (
             (c > 3)
             | (single & ((topchar != cq) | (top == kern.zoff)))
             | (b2 <= t2))
-        advance = stepping & ~fail
+        advance = stepping & ~defer & ~fail
+        if one_row:
+            # deferred lanes resolve now: their frozen LF(top) vs the
+            # bot rank just read from bot's own block
+            t2 = jnp.where(pending, s["t2p"], t2)
+            b2 = jnp.where(pending, b2_row, b2)
+            p_fail = pending & (b2 <= t2)
+            fail = fail | p_fail
+            advance = advance | (pending & ~p_fail)
         ext_emit = at_end | fail
 
         # ---------------- emission ----------------
@@ -361,6 +385,10 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         out = dict(cur=new_cur, done=new_done, mode=new_mode,
                    offset=new_offset, dep=new_dep, top=new_top,
                    bot=new_bot, nhits=nhits, sums=sums, h_all=h_all)
+        if one_row:
+            out["pend"] = jnp.where(defer, True,
+                                    jnp.where(pending, False, pend))
+            out["t2p"] = jnp.where(defer, t2, s["t2p"])
         if count_steps:
             out["steps"] = s["steps"] + active.astype(jnp.int32)
         return out
@@ -461,7 +489,7 @@ def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
 
     When `nblk` is given, fm_blocks is the unified table (blocks + packed
     ftab rows, ops/fm_jax.DeviceFMIndex.ufm) and the hot step uses ONE
-    fused gather for ftab + LF (fused_step_lookup)."""
+    one-row-per-lane fused gather (fused_step_lookup1)."""
     from ..ops.fm_jax import WORDS_PER_BLOCK, rank_in_block
     word_off = 8 if fm_blocks.shape[1] == 8 + WORDS_PER_BLOCK else 4
 
@@ -484,11 +512,12 @@ def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                    ).astype(jnp.int32)
         return lf[:B], lf[B:], topchar
 
-    step_lookup = None
+    step_lookup1 = None
     if nblk is not None:
-        def step_lookup(starting, fi, rows_t, rows_b, chars):
-            return fused_step_lookup(fm_blocks, nblk, fm_fchr, zoff,
-                                     starting, fi, rows_t, rows_b, chars)
+        def step_lookup1(starting, pending, fi, top, bot, chars):
+            return fused_step_lookup1(fm_blocks, nblk, fm_fchr, zoff,
+                                      starting, pending, fi, top, bot,
+                                      chars)
 
     return FMKernels(
         ftab_lookup=ftab_lookup,
@@ -498,7 +527,7 @@ def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
         zoff=zoff,
         num_ftab=fm_ftab_tb.shape[0],
         row_dtype=fm_ftab_tb.dtype,
-        step_lookup=step_lookup,
+        step_lookup1=step_lookup1,
     )
 
 
@@ -565,8 +594,12 @@ def _pack_search_outputs(h_top, h_bot, h_off, h_len, nhits, sums, idt,
          nhits.astype(idt)[:, None], sums.astype(idt)[:, None]], axis=1)
 
 
-POOL_SLOTS_PER_LANE = 10   # hit-pool budget (measured mean ~7.1/lane:
-                           # rc/junk strands emit ~9-13 short hits)
+POOL_SLOTS_PER_LANE = 8    # hit-pool budget. The pool is GLOBAL across
+                           # lanes (a dense prefix), so it needs to cover
+                           # the batch MEAN (~7.1 hits/lane measured),
+                           # not the per-lane max; the download link is
+                           # the e2e bottleneck and each slot costs 8 B.
+                           # Overflow lanes are re-fetched exactly.
 
 
 def _pack_pool_outputs(h_top, h_bot, h_off, h_len, nhits, sums, budget,
@@ -1050,10 +1083,16 @@ class BatchSearchEngine:
         # restart every ~10 chars), the slow strand runs to ~0.95*len.
         # Split just past the cliff; capacity 9/16 (not 1/2) so batches
         # where slightly more than half the lanes are slow (palindromic/
-        # both-strand hits) still take the compact branch.
+        # both-strand hits) still take the compact branch. A second
+        # level at ~0.62*len catches the remaining error-split
+        # stragglers (round-3 curve: 50% active at 0.46*len, 25% at the
+        # end); if a batch's survivors exceed a level's capacity the
+        # lax.cond just keeps the current width, so levels are safe.
         it1 = max(2, int(round(0.32 * m / 8)))
+        it2 = max(2, int(round(0.30 * m / 8)))
         w2 = ((nlanes * 9 // 16) + 255) // 256 * 256
-        return ((it1, w2),)
+        w3 = ((nlanes * 6 // 16) + 255) // 256 * 256
+        return ((it1, w2), (it2, w3))
 
     @staticmethod
     def transport(rseq: np.ndarray) -> np.ndarray:

@@ -116,6 +116,13 @@ class TPUClassificationPipeline:
         self.spm = SpeciesMetrics()
         from ..utils.metrics import PerfMetrics
         self.metrics = PerfMetrics()
+        self._last_seq = None   # same-read (srreads) comparison carry
+        try:
+            self.metrics.ebwt_bytes = int(
+                self.dfm.ufm.nbytes + self.dfm.offs.nbytes
+                + self.dfm.boundary_rows.nbytes + self.dfm.ftab_tb.nbytes)
+        except Exception:
+            pass
         self.met_read = None
         if self.cfg.met_read:
             from ..utils.metrics import PerReadMetricsWriter
@@ -159,7 +166,8 @@ class TPUClassificationPipeline:
                 and not self.cfg.count_kmers
                 and self.met_read is None)
 
-    def _tally_flat(self, passes, qlens, unit_nres) -> None:
+    def _tally_flat(self, passes, qlens, unit_nres,
+                    paired_flags=None) -> None:
         m = self.metrics
         n = len(qlens)
         m.reads += n
@@ -169,7 +177,31 @@ class TPUClassificationPipeline:
         m.reads_unclassified += n - nclass
         m.assignments += int(unit_nres.sum())
         m.filtered += sum(1 for ok in passes if not ok)
+        if paired_flags is not None:
+            # AlConUni: pairs with a reported assignment (aln_sink.h:1726)
+            m.pairs_classified += sum(
+                1 for pf, nr in zip(paired_flags, unit_nres)
+                if pf and nr > 0)
         m.batches += 1
+
+    def _tally_outer(self, recs, passes) -> None:
+        """OuterLoopMetrics counters: SameRead(Base) counts reads whose
+        sequence equals the previous read's (the reference's skip-rerun
+        optimization hits, centrifuge.cpp srreads), Unfiltered counts
+        filter survivors. reads/bases totals are tallied per path."""
+        m = self.metrics
+        prev = self._last_seq
+        for rec, ok in zip(recs, passes):
+            sq = rec.seq
+            if prev is not None and sq.shape == prev.shape \
+                    and np.array_equal(sq, prev):
+                m.srreads += 1
+                m.srbases += len(sq)
+            prev = sq
+            if ok:
+                m.ureads += 1
+                m.ubases += len(sq)
+        self._last_seq = prev
 
     def _flat_seed_spm(self) -> None:
         # move pending Python-side state (cur_ids carry-over + per-taxon
@@ -195,6 +227,9 @@ class TPUClassificationPipeline:
             self.metrics.download_bytes = st["download_bytes"]
             self.metrics.ext_searches = st["ext_searches"]
             self.metrics.ext_lanes = st["ext_lanes"]
+        bw = getattr(self.resolver, "bwops", None)
+        if bw is not None:
+            self.metrics.wl_bwops = bw
         return out
 
     def _prep_unpaired(self, recs):
@@ -232,6 +267,7 @@ class TPUClassificationPipeline:
     def classify_batch_unpaired(self, recs: Sequence[ReadRec]) -> List[str]:
         units = self._prep_unpaired(recs)
         passes = batch_read_passes(recs, self.cfg)
+        self._tally_outer(recs, passes)
         if self.native is not None:
             fut = self._dispatch_units(units, passes)
             return self._finish_batch(recs, passes, units, fut)
@@ -257,6 +293,7 @@ class TPUClassificationPipeline:
         for recs in batches:
             units = self._prep_unpaired(recs)
             passes = batch_read_passes(recs, self.cfg)
+            self._tally_outer(recs, passes)
             fut = self._dispatch_units(units, passes)
             # seeds depend only on inputs: hash them now so the work
             # overlaps the device instead of sitting after the collect
@@ -301,6 +338,7 @@ class TPUClassificationPipeline:
             for recs in batches:
                 units = self._prep_unpaired(recs)
                 passes = batch_read_passes(recs, self.cfg)
+                self._tally_outer(recs, passes)
                 fut = self._dispatch_units(units, passes)
                 q.append((recs, passes,
                           ex.submit(work, recs, units, passes, fut)))
@@ -450,6 +488,14 @@ class TPUClassificationPipeline:
                 units.append([])
                 paired_flags.append(False)
         active = [bool(u) for u in units]
+        flat_recs, flat_ok = [], []
+        for (r1, r2), (p1, p2) in zip(pairs, passes):
+            flat_recs.append(r1)
+            flat_ok.append(p1)
+            if r2 is not None:
+                flat_recs.append(r2)
+                flat_ok.append(p2)
+        self._tally_outer(flat_recs, flat_ok)
         return units, passes, active, paired_flags
 
     def _paired_seeds(self, pairs, passes) -> np.ndarray:
@@ -486,6 +532,8 @@ class TPUClassificationPipeline:
             if chosen:
                 m.reads_classified += 1
                 m.assignments += len(chosen)
+                if p1 and p2:
+                    m.pairs_classified += 1
             else:
                 m.reads_unclassified += 1
             rows.extend(self.formatter.rows_for_read(
@@ -517,7 +565,7 @@ class TPUClassificationPipeline:
                 qlens, self.metrics, prefetch=prefetch,
                 round_sync=self.sync)
             self._tally_flat([p1 or p2 for p1, p2 in passes], qlens,
-                             unit_nres)
+                             unit_nres, paired_flags=paired_flags)
             return rows
         per_unit, secbest = self.native.process(
             arrays, lane_map, lane_seqs, units, paired_flags, seeds,
@@ -556,6 +604,8 @@ class TPUClassificationPipeline:
             if chosen:
                 m.reads_classified += 1
                 m.assignments += len(chosen)
+                if p1 and p2:
+                    m.pairs_classified += 1
             else:
                 m.reads_unclassified += 1
             rows.extend(self.formatter.rows_for_read(
@@ -680,6 +730,8 @@ class TPUClassificationPipeline:
                 for top, nelt in requests]).astype(rdt)
             nrows = rows.shape[0]
             self.metrics.resolve_rows += nrows
+            self.metrics.wl_resolves += nrows
+            self.metrics.wl_reports += nrows
             padded = np.zeros(_bucket(nrows), dtype=rdt)
             padded[:nrows] = rows
             tidx = np.asarray(self.resolver(padded))[:nrows]

@@ -111,10 +111,12 @@ inline int64_t lf_step(const WalkCtx& c, int64_t r) {
   return c.fchr[ch] + (int64_t)base + cnt - adj;
 }
 
-inline int32_t resolve_one(const WalkCtx& c, int64_t r) {
+inline int32_t resolve_one(const WalkCtx& c, int64_t r,
+                           int64_t* steps) {
   int32_t t = try_offset(c, r);
   for (int64_t it = 0; t < 0 && it < c.max_steps; ++it) {
     r = lf_step(c, r);
+    ++*steps;
     t = try_offset(c, r);
   }
   return t;
@@ -128,24 +130,37 @@ extern "C" void fm_resolve_rows(
     const int64_t* boundary_rows, const int32_t* boundary_refs,
     int64_t nbounds, int64_t zoff, int64_t sample_mask, int32_t offrate,
     int32_t narrow, int64_t max_steps, const int64_t* rows,
-    int32_t* out_tidx, int64_t n, int32_t nthreads) {
+    int32_t* out_tidx, int64_t n, int32_t nthreads,
+    int64_t* bwops_out) {
+  // bwops_out (nullable): total LF steps taken, the reference's
+  // WalkMetrics bwops analog (group_walk.h:884,987) for --met ResBWOp
   WalkCtx c{blocks, nblk,  word_off, word_off + 32, fchr,
             offs,   noffs, boundary_rows, boundary_refs, nbounds,
             zoff,   sample_mask, offrate, narrow, max_steps};
   if (nthreads <= 1 || n < 1024) {
-    for (int64_t i = 0; i < n; ++i) out_tidx[i] = resolve_one(c, rows[i]);
+    int64_t steps = 0;
+    for (int64_t i = 0; i < n; ++i)
+      out_tidx[i] = resolve_one(c, rows[i], &steps);
+    if (bwops_out) *bwops_out = steps;
     return;
   }
   std::vector<std::thread> ts;
+  std::vector<int64_t> tsteps(nthreads, 0);
   int64_t chunk = (n + nthreads - 1) / nthreads;
   for (int32_t t = 0; t < nthreads; ++t) {
     int64_t lo = t * chunk, hi = lo + chunk;
     if (hi > n) hi = n;
     if (lo >= hi) break;
-    ts.emplace_back([&c, rows, out_tidx, lo, hi]() {
+    int64_t* st = &tsteps[t];
+    ts.emplace_back([&c, rows, out_tidx, lo, hi, st]() {
       for (int64_t i = lo; i < hi; ++i)
-        out_tidx[i] = resolve_one(c, rows[i]);
+        out_tidx[i] = resolve_one(c, rows[i], st);
     });
   }
   for (auto& t : ts) t.join();
+  if (bwops_out) {
+    int64_t steps = 0;
+    for (int64_t s2 : tsteps) steps += s2;
+    *bwops_out = steps;
+  }
 }

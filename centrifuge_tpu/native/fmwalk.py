@@ -35,7 +35,8 @@ def _load():
         lib.fm_resolve_rows.argtypes = [
             _u32p, C.c_int64, C.c_int32, _i64p, _i32p, C.c_int64,
             _i64p, _i32p, C.c_int64, C.c_int64, C.c_int64, C.c_int32,
-            C.c_int32, C.c_int64, _i64p, _i32p, C.c_int64, C.c_int32]
+            C.c_int32, C.c_int64, _i64p, _i32p, C.c_int64, C.c_int32,
+            C.POINTER(C.c_int64)]
         _LIB = lib
     except Exception:
         _LIB_FAILED = True
@@ -72,16 +73,21 @@ class HostResolver:
         self.max_steps = max_steps
         self.wide = wide                  # resolver-protocol attribute
         self.nthreads = nthreads or min(8, os.cpu_count() or 1)
+        # cumulative LF steps across calls (--met ResBWOp; the
+        # reference's WalkMetrics bwops, group_walk.h:884,987)
+        self.bwops = 0
 
     def __call__(self, rows) -> np.ndarray:
         rows = np.ascontiguousarray(np.asarray(rows), np.int64)
         out = np.empty(rows.shape[0], np.int32)
         if rows.shape[0] == 0:
             return out
+        steps = C.c_int64(0)
         self.lib.fm_resolve_rows(
             self.blocks, self.nblk, self.word_off, self.fchr,
             self.offs, self.offs.shape[0], self.brows, self.brefs,
             self.brows.shape[0], self.zoff, self.sample_mask,
             self.offrate, self.narrow, self.max_steps, rows, out,
-            rows.shape[0], self.nthreads)
+            rows.shape[0], self.nthreads, C.byref(steps))
+        self.bwops += int(steps.value)
         return out

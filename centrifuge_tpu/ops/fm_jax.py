@@ -288,53 +288,70 @@ def _rank_from_rows(data: jax.Array, within: jax.Array, chars: jax.Array,
     return base + cnt - adj
 
 
-def fused_step_lookup(ufm: jax.Array, nblk: int, fchr: jax.Array, zoff,
-                      starting: jax.Array, fi: jax.Array,
-                      top: jax.Array, bot: jax.Array, chars: jax.Array):
-    """One gather for everything a search step needs.
+def fused_step_lookup1(ufm: jax.Array, nblk: int, fchr: jax.Array, zoff,
+                       starting: jax.Array, pending: jax.Array,
+                       fi: jax.Array, top: jax.Array, bot: jax.Array,
+                       chars: jax.Array):
+    """ONE row gather per lane per step (halving the round-2 step cost,
+    whose 2L-row gather was ~90% of device search time).
 
-    starting lanes read their packed ftab row (range prime); extending
-    lanes read the block rows of top and bot (LF rank + BWT char).
-    Returns (ftop, fbot, lf_top, lf_bot, topchar); entries are only
-    meaningful for lanes in the corresponding phase.
+    Each lane reads exactly one row: its packed ftab row (starting), the
+    block row of `top` (extending; serves the top rank AND -- when `bot`
+    lies within or at the end of top's block, the common case once the
+    range narrows -- the bot rank via the same 512-base window), or the
+    block row of `bot` (lanes the search loop deferred one step because
+    bot was out of the top block's reach).
+
+    Returns (ftop, fbot, lf_top, b2_row, topchar, in_reach). b2_row is
+    the bot-side LF for extending lanes with in_reach, and for pending
+    lanes; other entries are only meaningful for lanes in the matching
+    phase. The split-step trick is exact: a deferred lane's state is
+    frozen, so its transition is computed identically one iteration
+    later (hi_aligner.h:981-1007 semantics are per-lane).
     """
     word_off = _layout_word_off(ufm)
     wide = word_off == 8
     idt = jnp.int64 if wide else jnp.int32
-    L = top.shape[0]
     per_shift = 3 if wide else 4          # ftab entries per row
 
     frow = nblk + (fi >> per_shift).astype(idt)
-    idx_t = jnp.where(starting, frow, jnp.where(top >= 0, top >> 9, 0))
-    idx_b = jnp.where(starting, frow, jnp.where(bot >= 0, bot >> 9, 0))
-    g = ufm[jnp.concatenate([idx_t, idx_b])]          # (2L, W): ONE gather
-    gt = g[:L]
+    blk_t = top >> 9
+    prow = jnp.where(starting, frow,
+                     jnp.where(pending, bot >> 9, blk_t))
+    g = ufm[prow]                                     # (L, W): ONE gather
 
-    # --- ftab extraction (starting lanes; values from gt) ---
+    # --- ftab extraction (starting lanes) ---
     if wide:
         q = ((fi & 7) * 4).astype(jnp.int32)
-        tlo = _select_col(gt, q).astype(jnp.int64)
-        thi = _select_col(gt, q + 1).astype(jnp.int64)
-        blo = _select_col(gt, q + 2).astype(jnp.int64)
-        bhi = _select_col(gt, q + 3).astype(jnp.int64)
+        tlo = _select_col(g, q).astype(jnp.int64)
+        thi = _select_col(g, q + 1).astype(jnp.int64)
+        blo = _select_col(g, q + 2).astype(jnp.int64)
+        bhi = _select_col(g, q + 3).astype(jnp.int64)
         ftop = tlo | (thi << 32)
         fbot = blo | (bhi << 32)
     else:
         p = ((fi & 15) * 2).astype(jnp.int32)
-        ftop = _select_col(gt, p).astype(jnp.int32)
-        fbot = _select_col(gt, p + 1).astype(jnp.int32)
+        ftop = _select_col(g, p).astype(jnp.int32)
+        fbot = _select_col(g, p + 1).astype(jnp.int32)
 
-    # --- LF rank extraction (extending lanes) ---
-    rows2 = jnp.concatenate([top, bot])
-    within2 = (rows2 & 511).astype(jnp.int32)
-    ch2 = jnp.concatenate([chars, chars])
-    r = _rank_from_rows(g, within2, ch2, zoff, rows2, word_off)
-    lf2 = _fchr_select(fchr, ch2) + r
-    word = _select_col(gt[:, word_off:],
-                       ((top & 511) >> 4).astype(jnp.int32))
+    # --- rank extraction: top (own block) + bot (same row) ---
+    # bot's rank comes from the SAME gathered row: for extending lanes
+    # with bot <= end of top's block the window [0, bot - blk_t*512]
+    # covers it (within == 512 counts the full block, which equals the
+    # next block's occ checkpoint); for pending lanes the row IS bot's
+    # block and the usual bot & 511 window applies.
+    in_reach = bot <= (blk_t + 1) * 512
+    within_t = (top & 511).astype(jnp.int32)
+    within_b = jnp.where(
+        pending, (bot & 511).astype(jnp.int32),
+        jnp.clip(bot - (blk_t << 9), 0, 512).astype(jnp.int32))
+    r_t = _rank_from_rows(g, within_t, chars, zoff, top, word_off)
+    r_b = _rank_from_rows(g, within_b, chars, zoff, bot, word_off)
+    base = _fchr_select(fchr, chars)
+    word = _select_col(g[:, word_off:], within_t >> 4)
     topchar = ((word.astype(jnp.uint32)
                 >> (2 * (top & 15).astype(jnp.uint32))) & 3).astype(jnp.int32)
-    return ftop, fbot, lf2[:L], lf2[L:], topchar
+    return ftop, fbot, base + r_t, base + r_b, topchar, in_reach
 
 
 def rank_kernel(blocks: jax.Array, zoff, rows: jax.Array,

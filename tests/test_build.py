@@ -188,3 +188,22 @@ def test_fasta_streaming_chunks_match_whole_file():
     tiny = list(_iter_fasta(fx, chunksize=7))
     assert whole == tiny
     assert len(whole) == 24
+
+
+@pytest.mark.parametrize("dcv", [32, 128, 512])
+def test_blockwise_nonsquare_dcv(tmp_path, dcv):
+    """Non-square power-of-two difference-cover periods (v = 2^odd).
+
+    The cover's stride multiples reach (r-1)*r = 2v - r there and must
+    reduce mod v; round 3 fixed a heap overflow in build_cover for
+    these periods, so every dcv the CLI accepts now builds correctly."""
+    fx = fixture_path("synth")
+    base = str(tmp_path / "idx")
+    build_index([os.path.join(fx, "db.fa")], base,
+                os.path.join(fx, "conv.dmp"), os.path.join(fx, "nodes.dmp"),
+                os.path.join(fx, "names.dmp"), bmax=120000, dcv=dcv,
+                blockwise=True)
+    for ext in ("1", "2", "4"):
+        assert filecmp.cmp(f"{base}.{ext}.cf",
+                           os.path.join(fx, f"synth.{ext}.cf"),
+                           shallow=False), f".{ext}.cf differs"

@@ -218,9 +218,18 @@ def test_classify_metrics_emission(tmp_path):
                  "--met-file", str(met), "--met", "1"])
     assert r.returncode == 0, r.stderr
     lines = met.read_text().splitlines()
-    assert lines[0].startswith("time\tsecs\treads")
+    # reference header: 134 bowtie2-heritage names (its /*N*/ comment
+    # numbering skips 32-33), trailing tab (centrifuge.cpp:1818-1967);
+    # rows are the 30 emitted values
+    assert lines[0].startswith("Time\tRead\tBase\tSameRead")
+    assert lines[0].endswith("LocalGenomeCoords\t")
+    assert len(lines[0].rstrip("\t").split("\t")) == 134
     last = lines[-1].split("\t")
-    assert int(last[2]) == 100  # reads counter
+    assert len(last) == 30
+    assert int(last[1]) == 100  # Read counter (final row = job total)
+    assert int(last[5]) == 100  # UnfilteredRead
+    assert int(last[14]) > 0    # MemPeak MB
+    assert int(last[16]) > 0    # EbwtMemPeak MB
 
 
 def test_sample_sheet(tmp_path):
@@ -634,7 +643,7 @@ def test_kreport_count_table_degenerate_parity():
 
 def test_met_read_per_read_metrics(tmp_path):
     """--met-read writes one metrics row per read (the reference's
-    per-read reportInterval, centrifuge.cpp:2742-2748, adapted columns)."""
+    per-read reportInterval, centrifuge.cpp:2742-2748)."""
     fx = fixture_path("synth")
     met = tmp_path / "met.tsv"
     r = run_cli(["classify", "-x", os.path.join(fx, "synth"),
@@ -643,9 +652,13 @@ def test_met_read_per_read_metrics(tmp_path):
                  "-S", str(tmp_path / "o.tsv"), "--report-file", ""])
     assert r.returncode == 0, r.stderr
     lines = met.read_text().splitlines()
-    assert lines[0].startswith("time\tsecs\treadID")
+    # per-read records: reference row prefixed with Name
+    # (centrifuge.cpp:2742-2748)
+    assert lines[0].startswith("Name\tTime\tRead")
     assert len(lines) == 3001  # header + one row per read
-    assert lines[1].split("\t")[2] == "chim_0"
+    first = lines[1].split("\t")
+    assert first[0] == "chim_0"
+    assert first[2] == "1"      # Read: that read's own counters
 
 
 def test_fastq_malformed_diagnostics(tmp_path):
