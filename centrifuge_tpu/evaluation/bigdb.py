@@ -164,6 +164,13 @@ def ensure_pcdb(workdir: str, verbose: bool = False,
         simulate(fa, conv, os.path.join(workdir, "pc_reads"),
                  SimConfig(num_fragments=n_reads, read_length=100,
                            error_rate=0.002, seed=13))
+    if not os.path.exists(os.path.join(workdir, "pc_pairs_1.fq")):
+        if verbose:
+            print(f"simulating {n_reads // 2} read pairs ...", flush=True)
+        from .simulate import SimConfig, simulate
+        simulate(fa, conv, os.path.join(workdir, "pc_pairs"),
+                 SimConfig(num_fragments=n_reads // 2, read_length=100,
+                           error_rate=0.002, seed=17, paired=True))
     return base
 
 

@@ -33,6 +33,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("index_base")
     ap.add_argument("reads")
+    ap.add_argument("--reads2", default=None,
+                    help="mate-2 FASTQ: adds a paired-end leg (paired "
+                         "scoring doubles lanes and exercises "
+                         "_finish_paired; reference semantics "
+                         "classifier.h:226,530-535)")
     ap.add_argument("--ref-binary", default=None,
                     help="reference centrifuge-class for the parity leg")
     ap.add_argument("--ref-tsv", default=None,
