@@ -46,7 +46,8 @@ except ImportError:  # older jax
 
 from ..index.cf_io import CFIndex
 from ..ops.fm_jax import (BLOCK_BASES, WORDS_PER_BLOCK, _fchr_select,
-                          pack_bwt_blocks, rank_in_block)
+                          _rank_from_rows, _select_col, pack_bwt_blocks,
+                          rank_in_block)
 from ..classify.engine import FMKernels, search_loop, _bucket
 
 
@@ -184,9 +185,40 @@ def _shard_kernels(sh: ShardedFMArrays, blocks_l, fchr, ftab_tb_l, zoff,
         tb = jax.lax.psum(tb, axis)
         return tb[:, 0], tb[:, 1]
 
+    def step_lookup1(starting, pending, fi, top, bot, chars):
+        """Sharded one-row-per-lane step (the fm-axis analog of
+        fm_jax.fused_step_lookup1): each shard gathers ONE local block
+        row per lane (top's block, or bot's for deferred lanes) instead
+        of the 2L-row concat, plus the masked ftab row; all extracted
+        values reconstitute through psums, which XLA fuses into one
+        all-reduce per step (SHARDBENCH_r03 census)."""
+        ftop, fbot = ftab_lookup(fi)
+        blk_t = top >> 9
+        prow_g = jnp.where(pending, bot >> 9, blk_t)
+        blk = prow_g - blk_base
+        valid = (blk >= 0) & (blk < nblk_per)
+        data = blocks_l[jnp.clip(blk, 0, nblk_per - 1)]
+        within_t = (top & 511).astype(jnp.int32)
+        in_reach = bot <= (blk_t + 1) * 512
+        within_b = jnp.where(
+            pending, (bot & 511).astype(jnp.int32),
+            jnp.clip(bot - (blk_t << 9), 0, 512).astype(jnp.int32))
+        r_t = _rank_from_rows(data, within_t, chars, zoff, top, word_off)
+        r_b = _rank_from_rows(data, within_b, chars, zoff, bot, word_off)
+        r_t = jax.lax.psum(jnp.where(valid, r_t, 0), axis)
+        r_b = jax.lax.psum(jnp.where(valid, r_b, 0), axis)
+        base = _fchr_select(fchr, chars)
+        word = _select_col(data[:, word_off:], within_t >> 4)
+        ch = ((word.astype(jnp.uint32)
+               >> (2 * (top & 15).astype(jnp.uint32))) & 3
+              ).astype(jnp.int32)
+        topchar = jax.lax.psum(jnp.where(valid, ch, 0), axis)
+        return ftop, fbot, base + r_t, base + r_b, topchar, in_reach
+
     return FMKernels(ftab_lookup=ftab_lookup, lf_pair=lf_pair, lf=lf,
                      bwt_char=bwt_char, zoff=zoff,
-                     num_ftab=sh.ftab_tb.shape[0], row_dtype=idt)
+                     num_ftab=sh.ftab_tb.shape[0], row_dtype=idt,
+                     step_lookup1=step_lookup1)
 
 
 def _device_arrays(mesh: Mesh, sh: ShardedFMArrays):
