@@ -64,6 +64,10 @@ class FMKernels:
     num_ftab: int
     row_dtype: object = jnp.int32
     step_lookup1: Callable = None
+    deep: bool = False   # step_lookup1 accepts (use12, fi12): the index
+                         # carries a load-time depth-12 ftab region
+                         # (fm_jax.DeviceFMIndex.nblk12) and eligible
+                         # starts prime 12 chars in one step
 
 
 def _precompute_windows(rseq: jax.Array, ftab_chars: int):
@@ -225,6 +229,11 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         # lane's frozen LF(top) while it waits one step for bot's block
         state["pend"] = jnp.zeros(L, jnp.bool_)
         state["t2p"] = jnp.zeros(L, idt)
+    deep = kern.deep and use_words
+    if deep:
+        # deep-prime memo: a start whose depth-12 range came back empty
+        # retries with the plain 10-char path next step
+        state["no12"] = jnp.zeros(L, jnp.bool_)
     if count_steps:
         # lockstep-waste diagnostic: per-lane executed step count, so the
         # mean/max ratio (lanes idle while the slowest finishes) is
@@ -267,13 +276,15 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
             w1 = _row_select(rw, wi + 1)
             sh = (2 * (cw & 15)).astype(jnp.uint32)
             hi = jnp.where(sh > 0, w1 << ((32 - sh) & 31), jnp.uint32(0))
-            fi = (((w0 >> sh) | hi) & 0xFFFFF).astype(jnp.int32)
+            win = ((w0 >> sh) | hi)
+            fi = (win & 0xFFFFF).astype(jnp.int32)
             n0 = _row_select(rnw, wi)
             n1 = _row_select(rnw, wi + 1)
             shn = (cw & 15).astype(jnp.uint32)
             nhi = jnp.where(shn > 0, n1 << ((16 - shn) & 15),
                             jnp.uint32(0))
-            nwin = ((n0 >> shn) | nhi) & jnp.uint32(0x3FF)
+            nwin12 = ((n0 >> shn) | nhi) & jnp.uint32(0xFFF)
+            nwin = nwin12 & jnp.uint32(0x3FF)
             lowbit = nwin & (~nwin + jnp.uint32(1))
             fN = jnp.where(
                 nwin == 0, jnp.int32(fc),
@@ -293,13 +304,23 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         # ---------------- merged device lookup ----------------
         cq = jnp.clip(c, 0, 3)
         one_row = kern.step_lookup1 is not None
+        use12 = None
+        if deep:
+            fi12 = (win & 0xFFFFFF).astype(jnp.int32)
+            use12 = starting & (n - cur >= 12) \
+                & (nwin12 == 0) & ~s["no12"]
         if one_row:
             pend = s["pend"]
             pending = extending & pend
             at_end_pre = extending & ~pend & (dep >= n)
             stepping = extending & ~pend & (dep < n)
-            ftop, fbot, t2, b2_row, topchar, in_reach = kern.step_lookup1(
-                starting, pending, fi, top, bot, cq)
+            if deep:
+                ftop, fbot, t2, b2_row, topchar, in_reach = \
+                    kern.step_lookup1(starting, pending, fi, top, bot,
+                                      cq, use12=use12, fi12=fi12)
+            else:
+                ftop, fbot, t2, b2_row, topchar, in_reach = \
+                    kern.step_lookup1(starting, pending, fi, top, bot, cq)
         else:
             pending = jnp.zeros_like(extending)
             at_end_pre = extending & (dep >= n)
@@ -312,10 +333,22 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
 
         # ---------------- start phase ----------------
         left = n - cur
-        case_a = starting & (left < fc)
-        case_b = starting & ~case_a & (fN < fc)
-        case_c_empty = starting & ~case_a & ~case_b & (fbot <= ftop)
-        case_c_go = starting & ~case_a & ~case_b & (fbot > ftop)
+        plain = starting
+        case12_go = case12_empty = None
+        if deep:
+            # deep prime: 12 chars in one lookup. Success jumps straight
+            # to dep = cur + 12; an empty depth-12 range retries via the
+            # plain path next step (exact: every reference trajectory
+            # that fails before depth 12 has an empty 12-mer range, and
+            # its emitted hit carries the depth-10/11 range the plain
+            # path reproduces).
+            plain = starting & ~use12
+            case12_go = use12 & (fbot > ftop)
+            case12_empty = use12 & ~case12_go
+        case_a = plain & (left < fc)
+        case_b = plain & ~case_a & (fN < fc)
+        case_c_empty = plain & ~case_a & ~case_b & (fbot <= ftop)
+        case_c_go = plain & ~case_a & ~case_b & (fbot > ftop)
 
         start_newcur = jnp.where(
             case_a, n, jnp.where(case_b, cur + fN + 1, cur + fc))
@@ -373,18 +406,25 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
         if first_hit_only:
             new_done_lane = emit  # single partialSearch per lane
 
+        case_go = case_c_go if not deep else (case_c_go | case12_go)
         new_cur = jnp.where(emit, cur_after, cur)
         new_done = done | (emit & new_done_lane)
-        new_mode = jnp.where(emit, 0, jnp.where(case_c_go, 1, mode))
-        new_offset = jnp.where(case_c_go, cur, s["offset"])
-        new_dep = jnp.where(case_c_go, cur + fc,
+        new_mode = jnp.where(emit, 0, jnp.where(case_go, 1, mode))
+        new_offset = jnp.where(case_go, cur, s["offset"])
+        go_dep = cur + fc if not deep else \
+            jnp.where(case12_go, cur + 12, cur + fc)
+        new_dep = jnp.where(case_go, go_dep,
                             jnp.where(advance, dep + 1, dep))
-        new_top = jnp.where(case_c_go, ftop, jnp.where(advance, t2, top))
-        new_bot = jnp.where(case_c_go, fbot, jnp.where(advance, b2, bot))
+        new_top = jnp.where(case_go, ftop, jnp.where(advance, t2, top))
+        new_bot = jnp.where(case_go, fbot, jnp.where(advance, b2, bot))
 
         out = dict(cur=new_cur, done=new_done, mode=new_mode,
                    offset=new_offset, dep=new_dep, top=new_top,
                    bot=new_bot, nhits=nhits, sums=sums, h_all=h_all)
+        if deep:
+            out["no12"] = jnp.where(case12_empty, True,
+                                    jnp.where(emit | case_go, False,
+                                              s["no12"]))
         if one_row:
             out["pend"] = jnp.where(defer, True,
                                     jnp.where(pending, False, pend))
@@ -484,7 +524,7 @@ def search_loop(kern: FMKernels, rseq, lengths, start_cur,
 
 
 def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
-                   nblk: int = None) -> FMKernels:
+                   nblk: int = None, nblk12: int = None) -> FMKernels:
     """Single-device kernel set: plain gathers into replicated arrays.
 
     When `nblk` is given, fm_blocks is the unified table (blocks + packed
@@ -514,10 +554,12 @@ def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
 
     step_lookup1 = None
     if nblk is not None:
-        def step_lookup1(starting, pending, fi, top, bot, chars):
+        def step_lookup1(starting, pending, fi, top, bot, chars,
+                         use12=None, fi12=None):
             return fused_step_lookup1(fm_blocks, nblk, fm_fchr, zoff,
                                       starting, pending, fi, top, bot,
-                                      chars)
+                                      chars, nblk12=nblk12 or 0,
+                                      use12=use12, fi12=fi12)
 
     return FMKernels(
         ftab_lookup=ftab_lookup,
@@ -528,19 +570,22 @@ def direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
         num_ftab=fm_ftab_tb.shape[0],
         row_dtype=fm_ftab_tb.dtype,
         step_lookup1=step_lookup1,
+        deep=bool(nblk12),
     )
 
 
 @functools.partial(jax.jit, static_argnames=("min_hitlen", "increment",
                                              "max_hits", "first_hit_only",
-                                             "nblk", "packed_input"))
+                                             "nblk", "packed_input",
+                                             "nblk12"))
 def batched_search(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                    rseq, lengths, start_cur,
                    min_hitlen: int, increment: int, max_hits: int,
                    first_hit_only: bool, nblk: int = None,
-                   packed_input: bool = False):
+                   packed_input: bool = False, nblk12: int = None):
     """Single-chip full scan over all lanes (see search_loop)."""
-    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk)
+    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk,
+                          nblk12)
     rs = _unpack_transport(rseq, packed_input)
     return search_loop(kern, rs, lengths, start_cur,
                        min_hitlen, increment, max_hits, first_hit_only)
@@ -793,18 +838,20 @@ def _unpack_search_outputs(packed: np.ndarray, mh: int, compact: int):
 @functools.partial(jax.jit, static_argnames=("min_hitlen", "increment",
                                              "max_hits", "first_hit_only",
                                              "nblk", "compact",
-                                             "packed_input", "segments"))
+                                             "packed_input", "segments",
+                                             "nblk12"))
 def batched_search_packed(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                           rseq, lengths, start_cur,
                           min_hitlen: int, increment: int, max_hits: int,
                           first_hit_only: bool, nblk: int = None,
                           compact: bool = False,
                           packed_input: bool = False,
-                          segments: tuple = ()):
+                          segments: tuple = (), nblk12: int = None):
     """As batched_search, but packs all outputs into ONE array on device
     (see _pack_search_outputs). A single small device->host transfer
     matters when the device sits behind a network tunnel."""
-    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk)
+    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk,
+                          nblk12)
     rs = _unpack_transport(rseq, packed_input)
     h_top, h_bot, h_off, h_len, nhits, sums = search_loop(
         kern, rs, lengths, start_cur, min_hitlen,
@@ -898,7 +945,7 @@ def _presolve_pick_rows(h_top, h_bot, h_len, khits: int, ihits: int,
 @functools.partial(jax.jit, static_argnames=(
     "min_hitlen", "increment", "max_hits", "nblk", "khits", "ihits", "rk",
     "sample_mask", "offrate", "has_bounds", "narrow", "max_steps",
-    "compact", "packed_input", "phase1_steps", "segments"))
+    "compact", "packed_input", "phase1_steps", "segments", "nblk12"))
 def batched_search_presolve(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                             offs, boundary_rows, boundary_refs,
                             rseq, lengths, start_cur,
@@ -909,7 +956,7 @@ def batched_search_presolve(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
                             compact: bool = False,
                             packed_input: bool = False,
                             phase1_steps: int = None,
-                            segments: tuple = ()):
+                            segments: tuple = (), nblk12: int = None):
     """Search + speculative SA resolution in ONE dispatch.
 
     Besides the packed hit buffers, returns the predicted rows and their
@@ -917,7 +964,8 @@ def batched_search_presolve(fm_blocks, fm_fchr, fm_ftab_tb, zoff,
     to come back to the device for resolution (the round trip matters:
     each dispatch has ~50 ms latency on a tunneled device)."""
     from ..ops.fm_jax import resolve_rows_core, resolve_rows_two_phase
-    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk)
+    kern = direct_kernels(fm_blocks, fm_fchr, fm_ftab_tb, zoff, nblk,
+                          nblk12)
     rs = _unpack_transport(rseq, packed_input)
     h_top, h_bot, h_off, h_len, nhits, sums = search_loop(
         kern, rs, lengths, start_cur, min_hitlen,
@@ -1156,7 +1204,8 @@ class BatchSearchEngine:
             jnp.asarray(start), min_hitlen=self.min_hitlen,
             increment=self.increment, max_hits=max_hits,
             first_hit_only=first_hit_only, nblk=self.fm.nblk,
-            compact=compact, packed_input=tmode))
+            compact=compact, packed_input=tmode,
+            nblk12=self.fm.nblk12 or None))
         self.stats["download_bytes"] += packed.nbytes
         if compact in (3, 4, 5, 6):
             return _unpack_pool_outputs(
@@ -1197,6 +1246,7 @@ class BatchSearchEngine:
                 jnp.asarray(start),
                 min_hitlen=self.min_hitlen, increment=self.increment,
                 max_hits=mh, nblk=fm.nblk, khits=khits, ihits=ihits, rk=rk,
+                nblk12=fm.nblk12 or None,
                 sample_mask=(1 << fm.offrate) - 1, offrate=fm.offrate,
                 has_bounds=fm.boundary_rows.shape[0] > 0,
                 narrow=fm.npat <= 0xFFFF, max_steps=4096, compact=compact,
@@ -1216,7 +1266,7 @@ class BatchSearchEngine:
             jnp.asarray(start), min_hitlen=self.min_hitlen,
             increment=self.increment, max_hits=mh, first_hit_only=False,
             nblk=self.fm.nblk, compact=compact, packed_input=tmode,
-            segments=segs)
+            segments=segs, nblk12=self.fm.nblk12 or None)
         _start_host_copy(packed)
         self.stats["upload_bytes"] += rseqp.nbytes + lengths.nbytes
         self.stats["download_bytes"] += packed.nbytes

@@ -164,3 +164,82 @@ extern "C" void fm_resolve_rows(
     *bwops_out = steps;
   }
 }
+
+namespace {
+
+// rank_c(row): occurrences of c in bwt[0:row], '$' excluded -- the host
+// twin of fm_jax.rank_in_block, over the same packed block rows.
+inline int64_t rank_c(const WalkCtx& c, int64_t r, int ch) {
+  int64_t blk = r >> 9;
+  int within = (int)(r & 511);
+  const uint32_t* row = c.blocks + blk * c.row_width;
+  const uint32_t* words = row + c.word_off;
+  uint64_t base;
+  if (c.word_off == 8)
+    base = (uint64_t)row[ch] | ((uint64_t)row[ch + 4] << 32);
+  else
+    base = row[ch];
+  uint32_t pattern = kCharPattern[ch];
+  int64_t cnt = 0;
+  int full = within >> 4;
+  for (int w = 0; w < full; ++w) cnt += count_c(words[w], pattern, 16);
+  int rem = within & 15;
+  if (rem) cnt += count_c(words[full], pattern, rem);
+  int adj = (ch == 0 && c.zoff < r) ? 1 : 0;
+  return (int64_t)base + cnt - adj;
+}
+
+inline int64_t lf_c(const WalkCtx& c, int64_t r, int ch) {
+  return c.fchr[ch] + rank_c(c, r, ch);
+}
+
+}  // namespace
+
+// Derive the depth-12 ftab from the depth-10 one by LF-extending every
+// entry with all 16 2-char suffixes (the load-time deepening that kills
+// two LF steps per search start on large indexes; no .cf format change
+// -- the reference's ftab stays ftabChars=10, bt2_idx.h:1930-1946).
+// out_t/out_b hold 4^12 entries indexed fi12 = fi10 | c10<<20 | c11<<22
+// (window bit layout of engine._pack_read_words: char at cur+j sits at
+// bits 2j, and extension consumes cur+10 then cur+11). Empty depth-10/11
+// ranges propagate as (0, 0).
+extern "C" void fm_ftab_extend(
+    const uint32_t* blocks, int64_t nblk, int32_t word_off,
+    const int64_t* fchr, int64_t zoff, int64_t n10,
+    const int64_t* ftab_top, const int64_t* ftab_bot,
+    int64_t* out_t, int64_t* out_b, int32_t nthreads) {
+  WalkCtx c{blocks, nblk, word_off, word_off + 32, fchr,
+            nullptr, 0, nullptr, nullptr, 0, zoff, 0, 0, 0, 0};
+  if (nthreads < 1) nthreads = 1;
+  std::vector<std::thread> ts;
+  int64_t chunk = (n10 + nthreads - 1) / nthreads;
+  for (int32_t t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk, hi = lo + chunk;
+    if (hi > n10) hi = n10;
+    if (lo >= hi) break;
+    ts.emplace_back([&c, ftab_top, ftab_bot, out_t, out_b, lo, hi]() {
+      for (int64_t e10 = lo; e10 < hi; ++e10) {
+        int64_t t0 = ftab_top[e10], b0 = ftab_bot[e10];
+        for (int c10 = 0; c10 < 4; ++c10) {
+          int64_t t1 = 0, b1 = 0;
+          if (b0 > t0) {
+            t1 = lf_c(c, t0, c10);
+            b1 = lf_c(c, b0, c10);
+          }
+          for (int c11 = 0; c11 < 4; ++c11) {
+            int64_t idx =
+                e10 | ((int64_t)c10 << 20) | ((int64_t)c11 << 22);
+            if (b1 > t1) {
+              out_t[idx] = lf_c(c, t1, c11);
+              out_b[idx] = lf_c(c, b1, c11);
+            } else {
+              out_t[idx] = 0;
+              out_b[idx] = 0;
+            }
+          }
+        }
+      }
+    });
+  }
+  for (auto& t : ts) t.join();
+}

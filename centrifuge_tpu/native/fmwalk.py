@@ -91,3 +91,32 @@ class HostResolver:
             rows.shape[0], self.nthreads, C.byref(steps))
         self.bwops += int(steps.value)
         return out
+
+
+def ftab_extend(host_blocks, idx, wide: bool, nthreads: int = None):
+    """Depth-12 ftab from the depth-10 one (fm_ftab_extend): 16 LF-pair
+    extensions per entry over the packed block rows. Returns (top12,
+    bot12) int64[4^12] indexed by the engine's 24-bit window integer, or
+    None when the native library is unavailable (callers then skip the
+    deep-ftab start)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_ftab_extend_bound"):
+        lib.fm_ftab_extend.argtypes = [
+            _u32p, C.c_int64, C.c_int32, _i64p, C.c_int64, C.c_int64,
+            _i64p, _i64p, _i64p, _i64p, C.c_int32]
+        lib._ftab_extend_bound = True
+    blocks = np.ascontiguousarray(host_blocks, np.uint32)
+    fchr = np.ascontiguousarray(idx.fchr, np.int64)
+    t10 = np.ascontiguousarray(idx.ftab_top, np.int64)
+    b10 = np.ascontiguousarray(idx.ftab_bot, np.int64)
+    n10 = t10.shape[0] - 1 if t10.shape[0] == (1 << 20) + 1 \
+        else t10.shape[0]
+    assert n10 == 1 << 20, n10
+    out_t = np.empty(1 << 24, np.int64)
+    out_b = np.empty(1 << 24, np.int64)
+    lib.fm_ftab_extend(blocks, blocks.shape[0], 8 if wide else 4,
+                       fchr, int(idx.zoff), n10, t10, b10, out_t, out_b,
+                       nthreads or min(8, os.cpu_count() or 1))
+    return out_t, out_b

@@ -120,6 +120,14 @@ class DeviceFMIndex:
                                 # keep_host_blocks=True: the host copy of
                                 # the packed block rows, shared with the
                                 # native host resolver (native/fmwalk.py)
+    nblk12: int = 0        # ufm row offset of the depth-12 ftab region
+                           # (0 = not built). Large indexes deepen the
+                           # prime 10 -> 12 chars at load by LF-extending
+                           # every ftab entry with the 16 2-char suffixes
+                           # (native/fmwalk.fm_ftab_extend) -- two fewer
+                           # LF steps per successful search start, no .cf
+                           # format change (ftab stays 10, the reference
+                           # geometry bt2_idx.h:1930-1946).
 
     @property
     def row_dtype(self):
@@ -131,7 +139,8 @@ class DeviceFMIndex:
 
     @staticmethod
     def build(idx: CFIndex, device=None, wide: bool = None,
-              keep_host_blocks: bool = False) -> "DeviceFMIndex":
+              keep_host_blocks: bool = False,
+              deep_ftab: bool = None) -> "DeviceFMIndex":
         if wide is None:
             wide = idx.bwt_len >= (1 << 31)
         if wide and not jax.config.jax_enable_x64:
@@ -139,6 +148,20 @@ class DeviceFMIndex:
                 "index >= 2^31 bases needs the wide path: enable 64-bit "
                 "mode first (jax.config.update('jax_enable_x64', True))")
         rows = pack_bwt_blocks(idx.bwt, wide)
+        if deep_ftab is None:
+            # worth it when the expected depth-12 range is still >= ~2
+            # occurrences (random-text model: bwt_len / 4^12): on small
+            # indexes most 12-mers are absent and the failed deep prime
+            # would cost one extra step per search start
+            deep_ftab = (idx.ftab_chars == 10
+                         and idx.bwt_len >= (1 << 25))
+        ftab12 = None
+        if deep_ftab:
+            try:
+                from ..native.fmwalk import ftab_extend
+                ftab12 = ftab_extend(rows, idx, wide)
+            except Exception:
+                ftab12 = None
 
         put = functools.partial(jax.device_put, device=device)
         it = np.int64 if wide else np.int32
@@ -147,28 +170,38 @@ class DeviceFMIndex:
 
         # --- unified table: ftab entries packed into block-shaped rows ---
         width = rows.shape[1]
-        nftab = idx.ftab_top.shape[0]
-        if wide:
-            per = 8      # 8 entries x 4 words (lo/hi pairs)
-            nfr = (nftab + per - 1) // per
-            frows = np.zeros((nfr, width), dtype=np.uint32)
-            quads = np.zeros((nfr * per, 4), dtype=np.uint32)
-            t64 = idx.ftab_top.astype(np.uint64)
-            b64 = idx.ftab_bot.astype(np.uint64)
-            quads[:nftab, 0] = (t64 & 0xFFFFFFFF).astype(np.uint32)
-            quads[:nftab, 1] = (t64 >> 32).astype(np.uint32)
-            quads[:nftab, 2] = (b64 & 0xFFFFFFFF).astype(np.uint32)
-            quads[:nftab, 3] = (b64 >> 32).astype(np.uint32)
-            frows[:, : per * 4] = quads.reshape(nfr, per * 4)
-        else:
-            per = 16     # 16 (top, bot) pairs
-            nfr = (nftab + per - 1) // per
-            frows = np.zeros((nfr, width), dtype=np.uint32)
-            pairs = np.zeros((nfr * per, 2), dtype=np.uint32)
-            pairs[:nftab, 0] = idx.ftab_top.astype(np.uint32)
-            pairs[:nftab, 1] = idx.ftab_bot.astype(np.uint32)
-            frows[:, : per * 2] = pairs.reshape(nfr, per * 2)
-        ufm = np.concatenate([rows, frows], axis=0)
+
+        def pack_entries(top_arr, bot_arr):
+            ne = top_arr.shape[0]
+            if wide:
+                per = 8      # 8 entries x 4 words (lo/hi pairs)
+                nfr = (ne + per - 1) // per
+                fr = np.zeros((nfr, width), dtype=np.uint32)
+                quads = np.zeros((nfr * per, 4), dtype=np.uint32)
+                t64 = top_arr.astype(np.uint64)
+                b64 = bot_arr.astype(np.uint64)
+                quads[:ne, 0] = (t64 & 0xFFFFFFFF).astype(np.uint32)
+                quads[:ne, 1] = (t64 >> 32).astype(np.uint32)
+                quads[:ne, 2] = (b64 & 0xFFFFFFFF).astype(np.uint32)
+                quads[:ne, 3] = (b64 >> 32).astype(np.uint32)
+                fr[:, : per * 4] = quads.reshape(nfr, per * 4)
+            else:
+                per = 16     # 16 (top, bot) pairs
+                nfr = (ne + per - 1) // per
+                fr = np.zeros((nfr, width), dtype=np.uint32)
+                pairs = np.zeros((nfr * per, 2), dtype=np.uint32)
+                pairs[:ne, 0] = top_arr.astype(np.uint32)
+                pairs[:ne, 1] = bot_arr.astype(np.uint32)
+                fr[:, : per * 2] = pairs.reshape(nfr, per * 2)
+            return fr
+
+        frows = pack_entries(idx.ftab_top, idx.ftab_bot)
+        parts = [rows, frows]
+        nblk12 = 0
+        if ftab12 is not None:
+            nblk12 = rows.shape[0] + frows.shape[0]
+            parts.append(pack_entries(ftab12[0], ftab12[1]))
+        ufm = np.concatenate(parts, axis=0)
 
         # one device allocation serves both: row-indexed kernels only ever
         # touch rows < nblk, so `blocks` can alias the unified table
@@ -191,6 +224,7 @@ class DeviceFMIndex:
             npat=int(idx.npat),
             wide=wide,
             host_blocks=rows if keep_host_blocks else None,
+            nblk12=nblk12,
         )
 
 
@@ -291,7 +325,8 @@ def _rank_from_rows(data: jax.Array, within: jax.Array, chars: jax.Array,
 def fused_step_lookup1(ufm: jax.Array, nblk: int, fchr: jax.Array, zoff,
                        starting: jax.Array, pending: jax.Array,
                        fi: jax.Array, top: jax.Array, bot: jax.Array,
-                       chars: jax.Array):
+                       chars: jax.Array, nblk12: int = 0,
+                       use12: jax.Array = None, fi12: jax.Array = None):
     """ONE row gather per lane per step (halving the round-2 step cost,
     whose 2L-row gather was ~90% of device search time).
 
@@ -315,6 +350,12 @@ def fused_step_lookup1(ufm: jax.Array, nblk: int, fchr: jax.Array, zoff,
     per_shift = 3 if wide else 4          # ftab entries per row
 
     frow = nblk + (fi >> per_shift).astype(idt)
+    if nblk12:
+        # deep-prime lanes read their depth-12 ftab row instead (same
+        # row layout; the region starts at ufm[nblk12])
+        frow = jnp.where(use12, nblk12 + (fi12 >> per_shift).astype(idt),
+                         frow)
+        fi = jnp.where(use12, fi12, fi)
     blk_t = top >> 9
     prow = jnp.where(starting, frow,
                      jnp.where(pending, bot >> 9, blk_t))

@@ -356,3 +356,29 @@ def test_transport2_parity():
     nseqs[3][5] = 4
     _, _, tm = eng.pack_transport2(nseqs, 160, 16)
     assert tm == 1
+
+
+def test_deep_ftab_prime_byte_parity():
+    """The load-time depth-12 ftab (DeviceFMIndex nblk12; two fewer LF
+    steps per successful start) must leave classification output
+    byte-identical: every reference trajectory failing before depth 12
+    has an empty 12-mer range, which falls back to the plain path."""
+    import os
+    from conftest import fixture_path
+    from centrifuge_tpu.classify.tpu_pipeline import TPUClassificationPipeline
+    from centrifuge_tpu.index.cf_io import load_cf_index
+    from centrifuge_tpu.io.fastx import read_batch
+    from centrifuge_tpu.ops.fm_jax import DeviceFMIndex
+
+    idx = load_cf_index(fixture_path("synth", "synth"))
+    reads = read_batch([fixture_path("synth", "reads.fq")], limit=400)
+    plain = TPUClassificationPipeline(idx)
+    rows_plain = plain.classify_batch_unpaired(reads)
+    dfm = DeviceFMIndex.build(idx, keep_host_blocks=True, deep_ftab=True)
+    assert dfm.nblk12 > 0, "deep ftab must build"
+    deep = TPUClassificationPipeline(idx, dfm=dfm)
+    rows_deep = deep.classify_batch_unpaired(reads)
+    assert rows_plain == rows_deep
+    golden = open(os.path.join(fixture_path("synth"),
+                               "golden_output.tsv")).read().splitlines()
+    assert rows_deep == golden[1: len(rows_deep) + 1]
