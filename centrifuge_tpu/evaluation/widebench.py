@@ -96,6 +96,7 @@ def main(argv=None):
 
     parity = None
     ref_t = None
+    ref_marginal = None
     if args.ref_tsv:
         parity = open(args.ref_tsv).read() == ours
     elif args.ref_binary:
@@ -112,6 +113,22 @@ def main(argv=None):
         print(f"reference rc: {r.returncode} ({ref_t:.1f}s incl. index load)",
               flush=True)
         parity = open(ref_out).read() == ours
+        # warm-cache MARGINAL rate: a second warm run at 1/3 the reads;
+        # marginal = delta(reads)/delta(time) cancels index load + page
+        # cache warmup (the honest CPU number, BASELINE.md:45-65)
+        n_small = max(1, len(reads) // 3)
+        t0 = time.time()
+        subprocess.run(
+            [args.ref_binary, "-x", args.index_base, "-U", args.reads,
+             "-u", str(n_small), "-p", "4", "--reorder",
+             "-S", ref_out + ".small", "--report-file", "/dev/null"],
+            capture_output=True, text=True)
+        ref_t_small = time.time() - t0
+        if ref_t > ref_t_small:
+            ref_marginal = (len(reads) - n_small) / (ref_t - ref_t_small)
+        print(f"reference warm small run: {ref_t_small:.1f}s; marginal "
+              f"{ref_marginal and round(ref_marginal, 1)} reads/s",
+              flush=True)
 
     line = json.dumps({
         "metric": "wide_reads_per_sec_e2e",

@@ -68,23 +68,38 @@ def pack_bwt_blocks(bwt: np.ndarray, wide: bool) -> np.ndarray:
     kernel subtracts it once."""
     n = bwt.shape[0]
     nblk = n // BLOCK_BASES + 1
-    padded = np.zeros(nblk * BLOCK_BASES, dtype=np.uint8)
-    padded[:n] = bwt
-    b = padded.reshape(-1, 16).astype(np.uint32)
-    words = np.zeros(b.shape[0], dtype=np.uint32)
-    for i in range(16):
-        words |= b[:, i] << (2 * i)
-    words = words.reshape(nblk, WORDS_PER_BLOCK)
-    blocks_codes = padded.reshape(nblk, BLOCK_BASES)
-    occ = np.zeros((nblk, 4), dtype=np.uint64)
-    for c in range(4):
-        cnt = (blocks_codes == c).sum(axis=1).astype(np.uint64)
-        occ[1:, c] = np.cumsum(cnt)[:-1]
-    if wide:
-        occ_lo = (occ & 0xFFFFFFFF).astype(np.uint32)
-        occ_hi = (occ >> 32).astype(np.uint32)
-        return np.concatenate([occ_lo, occ_hi, words], axis=1)
-    return np.concatenate([occ.astype(np.uint32), words], axis=1)
+    word_off = 8 if wide else 4
+    out = np.zeros((nblk, word_off + WORDS_PER_BLOCK), dtype=np.uint32)
+    # chunked over block ranges: the obvious one-shot uint32 cast of the
+    # whole text costs 4 B/base of transient RAM (~48 GB at 12 Gbp);
+    # per-chunk peak is a few hundred MB instead
+    chunk_blk = 1 << 20                      # 512 Mbases per chunk
+    run = np.zeros(4, dtype=np.uint64)       # occ at chunk start
+    for b0 in range(0, nblk, chunk_blk):
+        b1 = min(nblk, b0 + chunk_blk)
+        lo = b0 * BLOCK_BASES
+        hi = min(n, b1 * BLOCK_BASES)
+        codes = np.zeros((b1 - b0) * BLOCK_BASES, dtype=np.uint8)
+        if hi > lo:
+            codes[: hi - lo] = bwt[lo:hi]
+        q = codes.reshape(-1, 16).astype(np.uint32)
+        words = np.zeros(q.shape[0], dtype=np.uint32)
+        for i in range(16):
+            words |= q[:, i] << (2 * i)
+        out[b0:b1, word_off:] = words.reshape(b1 - b0, WORDS_PER_BLOCK)
+        blocks_codes = codes.reshape(b1 - b0, BLOCK_BASES)
+        occ = np.zeros((b1 - b0, 4), dtype=np.uint64)
+        for c in range(4):
+            cnt = (blocks_codes == c).sum(axis=1).astype(np.uint64)
+            occ[1:, c] = np.cumsum(cnt)[:-1]
+            occ[:, c] += run[c]
+            run[c] += cnt.sum()
+        if wide:
+            out[b0:b1, :4] = (occ & 0xFFFFFFFF).astype(np.uint32)
+            out[b0:b1, 4:8] = (occ >> 32).astype(np.uint32)
+        else:
+            out[b0:b1, :4] = occ.astype(np.uint32)
+    return out
 
 
 @dataclass
