@@ -104,17 +104,21 @@ class MultihostSearchEngine(ShardedSearchEngine):
         return lmax, nlocal
 
     def _run_global(self, rseq_l, lengths_l, start_l, max_hits,
-                    first_hit_only):
+                    first_hit_only, tmode: int = 0):
+        # compact=0 / no segments: multihost keeps every process on one
+        # uniform packed-matrix output (pool budgets and compaction
+        # capacity checks are per-shard data-dependent; mode 0 keeps the
+        # SPMD programs trivially aligned). packed_input still applies.
+        from .sharded import _unpack_search_outputs
         L_local = rseq_l.shape[0]
-        out = self._search(
+        packed = self._search(
             self._to_dev(rseq_l, ("dp", None)),
             self._to_dev(lengths_l, ("dp",)),
             self._to_dev(start_l, ("dp",)),
-            max_hits=max_hits, first_hit_only=first_hit_only)
-        res = []
-        for a in out:
-            res.append(self._from_dev(a, L_local))
-        return res
+            max_hits=max_hits, first_hit_only=first_hit_only,
+            compact=0, packed_input=tmode, segments=())
+        local = self._from_dev(packed, L_local)
+        return _unpack_search_outputs(local, max_hits, 0)
 
     def search_async(self, seqs, presolve: bool = False, khits: int = 5,
                      ihits: int = 200):
@@ -130,11 +134,13 @@ class MultihostSearchEngine(ShardedSearchEngine):
         out = self._handle_overflow(out, rseq, lengths, mh, lmax, nlanes)
         return [a[:L] for a in out], None
 
-    def _run(self, rseq, lengths, start, max_hits, first_hit_only):
+    def _run(self, rseq, lengths, start, max_hits, first_hit_only,
+             pool: bool = False, tmode: int = 0, segs: tuple = ()):
         return self._run_global(rseq, lengths, start, max_hits,
-                                first_hit_only)
+                                first_hit_only, tmode=tmode)
 
-    def _handle_overflow(self, out, rseq, lengths, mh, lmax, nlanes):
+    def _handle_overflow(self, out, rseq, lengths, mh, lmax, nlanes,
+                         tmode: int = 0):
         over = np.nonzero(out[4] > mh)[0]
         mh2 = 2 * mh if over.shape[0] == 0 else min(
             _bucket(int(out[4].max()), lo=2 * mh), lmax)
@@ -152,7 +158,8 @@ class MultihostSearchEngine(ShardedSearchEngine):
         lengths2 = np.zeros(nover_l, dtype=np.int32)
         lengths2[: over.shape[0]] = lengths[over]
         full = self._run(rseq2, lengths2,
-                         np.zeros(nover_l, dtype=np.int32), mh2, False)
+                         np.zeros(nover_l, dtype=np.int32), mh2, False,
+                         tmode=tmode)
         wide = [np.zeros((nlanes, mh2), a.dtype) if a.ndim == 2 else a
                 for a in out]
         for k in range(4):

@@ -48,7 +48,11 @@ from ..index.cf_io import CFIndex
 from ..ops.fm_jax import (BLOCK_BASES, WORDS_PER_BLOCK, _fchr_select,
                           _rank_from_rows, _select_col, pack_bwt_blocks,
                           rank_in_block)
-from ..classify.engine import FMKernels, search_loop, _bucket
+from ..classify.engine import (FMKernels, POOL_SLOTS_PER_LANE, _bucket,
+                               _bucket_len, _pack_search_outputs,
+                               _start_host_copy, _unpack_pool_outputs,
+                               _unpack_search_outputs, _unpack_transport,
+                               search_loop)
 
 
 def _pad_to(arr: np.ndarray, mult: int, fill=0) -> np.ndarray:
@@ -76,6 +80,7 @@ class ShardedFMArrays:
     npat: int
     n_fm: int
     wide: bool
+    ftab_chars: int = 10
 
     @property
     def row_dtype(self):
@@ -124,6 +129,7 @@ class ShardedFMArrays:
             npat=int(idx.npat),
             n_fm=n_fm,
             wide=wide,
+            ftab_chars=int(idx.ftab_chars),
         )
 
 
@@ -277,28 +283,42 @@ def make_sharded_search(mesh: Mesh, sh: ShardedFMArrays,
                         min_hitlen: int = 22):
     """Jitted full-scan search over the (dp, fm) mesh.
 
-    Returns fn(rseq, lengths, start, max_hits, first_hit_only) with the
-    same outputs as the single-chip search_loop, gathered lane-major."""
+    Returns fn(rseq, lengths, start, max_hits, first_hit_only, compact,
+    packed_input, segments) mirroring the single-chip
+    batched_search_packed: reads arrive transport-packed (2 or 4 codes
+    per byte), the search loop runs with lockstep survivor compaction
+    (`segments`), and all outputs leave the device as ONE packed array
+    per dp shard (`compact` modes incl. the dense hit pool) -- the same
+    three optimizations the single-chip engine carries, so the fm axis
+    costs only its collectives, not a different (slower) engine."""
     increment = 10 if 2 * min_hitlen <= 33 else 2 * min_hitlen - 33
     zoff = jnp.asarray(sh.zoff, jnp.int64 if sh.wide else jnp.int32)
     dev = _device_arrays(mesh, sh)
 
-    @functools.partial(jax.jit, static_argnames=("max_hits",
-                                                 "first_hit_only"))
-    def step(rseq, lengths, start, max_hits: int, first_hit_only: bool):
+    @functools.partial(jax.jit, static_argnames=(
+        "max_hits", "first_hit_only", "compact", "packed_input",
+        "segments"))
+    def step(rseq, lengths, start, max_hits: int, first_hit_only: bool,
+             compact: int = 0, packed_input: int = 0,
+             segments: tuple = ()):
         def body(blocks_l, fchr, ftab_tb_l, offs_l, brows, brefs,
                  rseq, lengths, start):
             kern = _shard_kernels(sh, blocks_l, fchr, ftab_tb_l, zoff, "fm")
-            return search_loop(kern, rseq.astype(jnp.int32), lengths,
-                               start, min_hitlen, increment, max_hits,
-                               first_hit_only)
+            rs = _unpack_transport(rseq, packed_input)
+            res = search_loop(kern, rs, lengths, start, min_hitlen,
+                              increment, max_hits, first_hit_only,
+                              segments=segments)
+            return _pack_search_outputs(*res, kern.row_dtype, compact)
 
+        # pool modes emit a 1-D [pool | (nibbles) | tail] chunk per dp
+        # shard; matrix modes emit (lanes_per, C) rows -- both concatenate
+        # lane-major over dp
+        out_spec = P("dp") if compact in (3, 4, 5, 6) else P("dp", None)
         mapped = shard_map(
             body, mesh=mesh,
             in_specs=(P("fm", None), P(), P("fm", None), P("fm"), P(), P(),
                       P("dp", None), P("dp"), P("dp")),
-            out_specs=(P("dp", None), P("dp", None), P("dp", None),
-                       P("dp", None), P("dp"), P("dp")),
+            out_specs=out_spec,
             check_vma=False,
         )
         return mapped(*dev, rseq, lengths, start)
@@ -364,6 +384,12 @@ class ShardedSearchEngine:
     search_first_hits surface, so TPUClassificationPipeline runs the FULL
     classification (search + extension fixpoint + native assignment tail
     + selection + report) over the mesh unchanged.
+
+    Carries the single-chip engine's transport/loop optimizations (they
+    are borrowed methods, not re-implementations, so the two engines
+    cannot drift): transport-packed reads, per-lane packed code words in
+    the step, lockstep survivor compaction, and the dense hit-pool
+    output packing -- each applied per dp shard.
     """
 
     FIRST_MAX_HITS = 16
@@ -372,28 +398,28 @@ class ShardedSearchEngine:
     def __init__(self, sh: ShardedFMArrays, mesh: Mesh,
                  min_hitlen: int = 22):
         self.sh = sh
+        self.fm = sh            # shared helpers below read .fm.* fields
         self.mesh = mesh
         self.min_hitlen = min_hitlen
         self.n_dp = mesh.shape["dp"]
         self._search = make_sharded_search(mesh, sh, min_hitlen)
         self.lane_bucket_lo = max(256, self.n_dp)
         self.lmax_lo = 32
+        self.pool_min_lanes = 1024      # per dp shard
+        self.segment_min_lanes = 4096   # per dp shard
+        self.stats = {"upload_bytes": 0, "download_bytes": 0,
+                      "ext_searches": 0, "ext_lanes": 0}
 
-    # pack is identical to the single-chip engine's
-    def pack(self, seqs, lmax: int, nlanes: int):
-        rseq = np.zeros((nlanes, lmax + 10), dtype=np.int8)
-        lengths = np.zeros(nlanes, dtype=np.int32)
-        if seqs:
-            lens = np.fromiter((len(x) for x in seqs), np.int32, len(seqs))
-            lengths[: len(seqs)] = lens
-            total = int(lens.sum())
-            if total:
-                allseq = np.concatenate(seqs)
-                rows = np.repeat(np.arange(len(seqs), dtype=np.int64), lens)
-                starts = np.cumsum(lens) - lens
-                col = np.arange(total, dtype=np.int64) - starts[rows]
-                rseq[rows, lens[rows] - 1 - col] = allseq
-        return rseq, lengths
+    # ---- borrowed single-chip helpers (identical semantics; the fm
+    # geometry fields they read exist on ShardedFMArrays) ----
+    from ..classify.engine import BatchSearchEngine as _B
+    pack = _B.pack
+    transport = staticmethod(_B.transport)
+    pack_transport = _B.pack_transport
+    pack_transport2 = _B.pack_transport2
+    _compact_ok = _B._compact_ok
+    _segments = _B._segments
+    del _B
 
     def _dims(self, seqs):
         lmax = _bucket(max((len(s) for s in seqs), default=1),
@@ -401,44 +427,87 @@ class ShardedSearchEngine:
         nlanes = _bucket(len(seqs), lo=max(self.lane_bucket_lo, self.n_dp))
         return lmax, nlanes
 
-    def _run(self, rseq, lengths, start, max_hits, first_hit_only):
-        out = self._search(jnp.asarray(rseq), jnp.asarray(lengths),
-                           jnp.asarray(start), max_hits=max_hits,
-                           first_hit_only=first_hit_only)
-        return [np.asarray(a) for a in out]
+    def _unpack(self, packed: np.ndarray, nlanes: int, mh: int,
+                compact: int):
+        if compact in (3, 4, 5, 6):
+            # one [pool | (nibbles) | tail] chunk per dp shard,
+            # concatenated: unpack each shard at its own budget
+            per = nlanes // self.n_dp
+            clen = packed.shape[0] // self.n_dp
+            parts = [
+                _unpack_pool_outputs(packed[i * clen: (i + 1) * clen],
+                                     per, mh, POOL_SLOTS_PER_LANE * per,
+                                     mode=compact)
+                for i in range(self.n_dp)]
+            if len(parts) == 1:
+                return parts[0]
+            return [np.concatenate([p[k] for p in parts])
+                    for k in range(6)]
+        return _unpack_search_outputs(packed, mh, compact)
+
+    def _run(self, rseqp, lengths, start, max_hits, first_hit_only,
+             pool: bool = False, tmode: int = 1, segs: tuple = ()):
+        nlanes = rseqp.shape[0]
+        per = nlanes // self.n_dp
+        plen = rseqp.shape[1] * (2 if tmode == 1 else
+                                 4 if tmode == 2 else 1)
+        compact = self._compact_ok(plen, max_hits,
+                                   pool=pool and per >= self.pool_min_lanes)
+        self.stats["upload_bytes"] += rseqp.nbytes + lengths.nbytes
+        packed = np.asarray(self._search(
+            jnp.asarray(rseqp), jnp.asarray(lengths), jnp.asarray(start),
+            max_hits=max_hits, first_hit_only=first_hit_only,
+            compact=compact, packed_input=tmode, segments=segs))
+        self.stats["download_bytes"] += packed.nbytes
+        return self._unpack(packed, nlanes, max_hits, compact)
 
     def search_async(self, seqs, presolve: bool = False, khits: int = 5,
                      ihits: int = 200):
-        lmax, nlanes = self._dims(seqs)
-        rseq, lengths = self.pack(seqs, lmax, nlanes)
+        L = len(seqs)
+        maxlen = max((len(s) for s in seqs), default=1)
+        lmax = _bucket_len(maxlen, lo=self.lmax_lo)
+        nlanes = _bucket(L, lo=max(self.lane_bucket_lo, self.n_dp))
+        rseqp, lengths, tmode = self.pack_transport2(seqs, lmax, nlanes)
         start = np.zeros(nlanes, dtype=np.int32)
         mh = min(self.FIRST_MAX_HITS, lmax)
-        out = self._search(jnp.asarray(rseq), jnp.asarray(lengths),
-                           jnp.asarray(start), max_hits=mh,
-                           first_hit_only=False)
-        return (out, rseq, lengths, mh, lmax, nlanes)
+        per = nlanes // self.n_dp
+        segs = self._segments(per, maxlen)
+        compact = self._compact_ok(lmax + self.sh.ftab_chars, mh,
+                                   pool=per >= self.pool_min_lanes)
+        packed = self._search(
+            jnp.asarray(rseqp), jnp.asarray(lengths), jnp.asarray(start),
+            max_hits=mh, first_hit_only=False, compact=compact,
+            packed_input=tmode, segments=segs)
+        _start_host_copy(packed)
+        self.stats["upload_bytes"] += rseqp.nbytes + lengths.nbytes
+        return (packed, rseqp, lengths, mh, lmax, nlanes, compact, tmode)
 
     def search_collect(self, handle, L: int):
-        out, rseq, lengths, mh, lmax, nlanes = handle
-        out = [np.asarray(a) for a in out]
-        out = self._handle_overflow(out, rseq, lengths, mh, lmax, nlanes)
+        packed, rseqp, lengths, mh, lmax, nlanes, compact, tmode = handle
+        packed = np.asarray(packed)
+        self.stats["download_bytes"] += packed.nbytes
+        out = self._unpack(packed, nlanes, mh, compact)
+        out = self._handle_overflow(out, rseqp, lengths, mh, lmax, nlanes,
+                                    tmode)
         return [a[:L] for a in out], None
 
     def search(self, seqs):
         arrays, _ = self.search_collect(self.search_async(seqs), len(seqs))
         return arrays
 
-    def _handle_overflow(self, out, rseq, lengths, mh, lmax, nlanes):
+    def _handle_overflow(self, out, rseqp, lengths, mh, lmax, nlanes,
+                         tmode: int = 1):
         over = np.nonzero(out[4] > mh)[0]
         if over.shape[0]:
             nover = _bucket(over.shape[0], lo=max(32, self.n_dp))
             mh2 = min(_bucket(int(out[4].max()), lo=2 * mh), lmax)
-            rseq2 = np.zeros((nover, rseq.shape[1]), dtype=rseq.dtype)
-            rseq2[: over.shape[0]] = rseq[over]
+            rseq2 = np.zeros((nover, rseqp.shape[1]), dtype=rseqp.dtype)
+            rseq2[: over.shape[0]] = rseqp[over]
             lengths2 = np.zeros(nover, dtype=np.int32)
             lengths2[: over.shape[0]] = lengths[over]
             full = self._run(rseq2, lengths2,
-                             np.zeros(nover, dtype=np.int32), mh2, False)
+                             np.zeros(nover, dtype=np.int32), mh2, False,
+                             tmode=tmode)
             wide = [np.zeros((nlanes, mh2), a.dtype) if a.ndim == 2 else a
                     for a in out]
             for k in range(4):
@@ -454,16 +523,18 @@ class ShardedSearchEngine:
 
     def search_first_hits(self, seqs, offsets: np.ndarray):
         L = len(seqs)
-        lmax = _bucket(max((len(s) for s in seqs), default=1),
-                       lo=self.lmax_lo)
+        lmax = _bucket_len(max((len(s) for s in seqs), default=1),
+                           lo=self.lmax_lo)
         chunk = self.FIRST_HITS_CHUNK
+        self.stats["ext_searches"] += (L + chunk - 1) // chunk
+        self.stats["ext_lanes"] += L
         outs = []
         for c0 in range(0, L, chunk):
             part = seqs[c0: c0 + chunk]
-            rseq, lengths = self.pack(part, lmax, chunk)
+            rseqp, lengths, tmode = self.pack_transport2(part, lmax, chunk)
             start = np.zeros(chunk, dtype=np.int32)
             start[: len(part)] = offsets[c0: c0 + chunk].astype(np.int32)
-            out = self._run(rseq, lengths, start, 1, True)
+            out = self._run(rseqp, lengths, start, 1, True, tmode=tmode)
             outs.append([a[: len(part)] for a in out])
         if len(outs) == 1:
             return outs[0]
