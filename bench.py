@@ -101,6 +101,17 @@ def main():
             pass
         runs.append(len(reads) / (time.perf_counter() - t0))
 
+    # ---- phase 3: device-only search time (variance-robust secondary
+    # metric). The e2e number rides the axon tunnel, whose run-to-run
+    # variance is >2x; this one is a device-side block (scalar checksum
+    # output, upload excluded), stable to a few percent, so engine
+    # regressions can't hide behind tunnel noise. ----
+    from centrifuge_tpu.evaluation.prof import _time_device_only
+    units = pipe._prep_unpaired(reads[:BATCH])
+    lane_seqs = [s for unit in units for fw, rc in unit for s in (fw, rc)]
+    dev_s = _time_device_only(pipe.engine, lane_seqs, batches=5,
+                              lane_lo=2 * BATCH)
+
     rps = statistics.median(runs)
     print(json.dumps({
         "metric": "reads_per_sec_e2e_synth",
@@ -110,6 +121,8 @@ def main():
         "vs_ref_cpu_local": round(rps / REF_CPU_LOCAL, 3),
         "runs": [round(r, 1) for r in runs],
         "reads": len(reads),
+        "device_search_ms_per_batch": round(dev_s * 1e3, 1),
+        "device_batch_lanes": 2 * BATCH,
         "parity_ok": parity_ok,
         "native_engine": pipe.native is not None,
     }))

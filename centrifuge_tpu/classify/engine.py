@@ -21,6 +21,7 @@ into the same PartialHit lists the oracle produces, and the remaining
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Callable, List, Tuple
 
@@ -1066,6 +1067,12 @@ class BatchSearchEngine:
         # tables above this block count get the two-phase resolve walk
         # (lockstep tail is HBM-latency-bound on multi-GB tables)
         self.presolve_phase1_nblk = 1 << 16
+        # one-row-per-lane fused step (fused_step_lookup1); env toggle
+        # exists for A/B ablation (CENTRIFUGE_TPU_ONE_ROW=0 -> classic
+        # multi-gather step), perf numbers in CLAUDE.md's cost model
+        self.one_row = os.environ.get(
+            "CENTRIFUGE_TPU_ONE_ROW", "1").lower() not in (
+            "0", "off", "false", "no")
         # dense hit-pool transport kicks in at this lane count (the
         # compaction gather isn't worth it for tiny batches)
         self.pool_min_lanes = 1024
@@ -1203,9 +1210,10 @@ class BatchSearchEngine:
             jnp.asarray(rseqp), jnp.asarray(lengths),
             jnp.asarray(start), min_hitlen=self.min_hitlen,
             increment=self.increment, max_hits=max_hits,
-            first_hit_only=first_hit_only, nblk=self.fm.nblk,
+            first_hit_only=first_hit_only,
+            nblk=self.fm.nblk if self.one_row else None,
             compact=compact, packed_input=tmode,
-            nblk12=self.fm.nblk12 or None))
+            nblk12=(self.fm.nblk12 or None) if self.one_row else None))
         self.stats["download_bytes"] += packed.nbytes
         if compact in (3, 4, 5, 6):
             return _unpack_pool_outputs(
@@ -1245,8 +1253,9 @@ class BatchSearchEngine:
                 jnp.asarray(rseqp), jnp.asarray(lengths),
                 jnp.asarray(start),
                 min_hitlen=self.min_hitlen, increment=self.increment,
-                max_hits=mh, nblk=fm.nblk, khits=khits, ihits=ihits, rk=rk,
-                nblk12=fm.nblk12 or None,
+                max_hits=mh, nblk=fm.nblk if self.one_row else None,
+                khits=khits, ihits=ihits, rk=rk,
+                nblk12=(fm.nblk12 or None) if self.one_row else None,
                 sample_mask=(1 << fm.offrate) - 1, offrate=fm.offrate,
                 has_bounds=fm.boundary_rows.shape[0] > 0,
                 narrow=fm.npat <= 0xFFFF, max_steps=4096, compact=compact,
@@ -1265,8 +1274,10 @@ class BatchSearchEngine:
             jnp.asarray(rseqp), jnp.asarray(lengths),
             jnp.asarray(start), min_hitlen=self.min_hitlen,
             increment=self.increment, max_hits=mh, first_hit_only=False,
-            nblk=self.fm.nblk, compact=compact, packed_input=tmode,
-            segments=segs, nblk12=self.fm.nblk12 or None)
+            nblk=self.fm.nblk if self.one_row else None,
+            compact=compact, packed_input=tmode,
+            segments=segs,
+            nblk12=(self.fm.nblk12 or None) if self.one_row else None)
         _start_host_copy(packed)
         self.stats["upload_bytes"] += rseqp.nbytes + lengths.nbytes
         self.stats["download_bytes"] += packed.nbytes

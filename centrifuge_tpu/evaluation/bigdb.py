@@ -107,7 +107,8 @@ def ensure_pcdb(workdir: str, verbose: bool = False,
     os.makedirs(workdir, exist_ok=True)
     base = os.path.join(workdir, "pcdb")
     reads = os.path.join(workdir, "pc_reads.fq")
-    if os.path.exists(base + ".1.cf") and os.path.exists(reads):
+    if (os.path.exists(base + ".1.cf") and os.path.exists(reads)
+            and os.path.exists(os.path.join(workdir, "pc_pairs_1.fq"))):
         return base
 
     rng = np.random.default_rng(SEED + 2)

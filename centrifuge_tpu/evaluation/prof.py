@@ -24,9 +24,14 @@ FIXDIR = os.path.join(REPO, "tests", "fixtures", "synth")
 BATCH = 8192
 
 
-def _time_device_only(eng, lane_seqs, batches=3):
+def _time_device_only(eng, lane_seqs, batches=3, lane_lo=None):
     """Device-compute timing with a scalar (no-download) output: jit the
-    search + a checksum reduction, so the block excludes the link."""
+    search + a checksum reduction, so the block excludes the link.
+
+    Mirrors the engine's production call exactly (one-row fused step per
+    eng.one_row, deep-ftab region per fm.nblk12) so the number tracks the
+    shipped kernel — this is bench.py's variance-robust secondary metric
+    (the tunnel's >2x e2e noise never touches a device-side block)."""
     import jax
     import jax.numpy as jnp
     import time
@@ -35,10 +40,12 @@ def _time_device_only(eng, lane_seqs, batches=3):
     maxlen = max(len(s) for s in lane_seqs)
     from centrifuge_tpu.classify.engine import _bucket_len
     lmax = _bucket_len(maxlen, lo=eng.lmax_lo)
-    nlanes = _bucket(len(lane_seqs), lo=2 * BATCH)
+    nlanes = _bucket(len(lane_seqs), lo=lane_lo or 2 * BATCH)
     rseqp, lengths = eng.pack_transport(lane_seqs, lmax, nlanes)
     fm = eng.fm
     segs = eng._segments(nlanes, maxlen)
+    nblk = fm.nblk if eng.one_row else None
+    nblk12 = (fm.nblk12 or None) if eng.one_row else None
 
     # index arrays must be jit ARGUMENTS: a closed-over multi-GB blocks
     # table becomes a compile-request constant and the axon remote
@@ -49,7 +56,7 @@ def _time_device_only(eng, lane_seqs, batches=3):
             blocks, fchr, ftab_tb,
             jnp.asarray(fm.zoff, fm.row_dtype), rseqp, lengths, start,
             min_hitlen=eng.min_hitlen, increment=eng.increment,
-            max_hits=16, first_hit_only=False, nblk=fm.nblk,
+            max_hits=16, first_hit_only=False, nblk=nblk, nblk12=nblk12,
             compact=eng._compact_ok(2 * rseqp.shape[1], 16, pool=True),
             packed_input=True, segments=segs)
         return packed.astype(jnp.int32).sum()

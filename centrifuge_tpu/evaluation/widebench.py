@@ -29,6 +29,75 @@ import time
 BATCH = 8192
 
 
+def _paired_leg(args, idx, dfm):
+    """Paired-end phase: 3 timed classify_stream_paired passes over
+    (reads, reads2) mate files + byte parity vs the reference binary run
+    with ``-1/-2 --reorder`` (paired scoring semantics:
+    classifier.h:226,530-535 — a pair is one unit, both-mate hit sum).
+
+    Returns a dict merged into the widebench JSON.
+    """
+    import statistics
+    import subprocess
+    import time
+
+    from centrifuge_tpu.classify.tpu_pipeline import TPUClassificationPipeline
+    from centrifuge_tpu.io.fastx import read_batch
+
+    B = args.batch
+    m1 = read_batch([args.reads])
+    m2 = read_batch([args.reads2])
+    n_pairs = min(len(m1), len(m2), args.reads_count)
+    n_pairs = (n_pairs // B) * B
+    pairs = list(zip(m1[:n_pairs], m2[:n_pairs]))
+    print(f"paired leg: {n_pairs} pairs, batch {B}", flush=True)
+
+    pipe = TPUClassificationPipeline(idx, dfm=dfm)
+    t0 = time.time()
+    for _ in pipe.classify_stream_paired([pairs[:B]]):
+        pass
+    print(f"paired warmup+compile: {time.time()-t0:.1f}s", flush=True)
+
+    runs = []
+    rows = []
+    for _ in range(3):
+        pipe2 = TPUClassificationPipeline(idx, dfm=dfm)
+        t0 = time.time()
+        rows = [pipe2.formatter.header()]
+        for chunk in pipe2.classify_stream_paired(
+                pairs[i: i + B] for i in range(0, n_pairs, B)):
+            rows += chunk
+        runs.append(n_pairs / (time.time() - t0))
+        print(f"paired run: {runs[-1]:.1f} pairs/s", flush=True)
+    ours = "\n".join(rows) + "\n"
+
+    parity = None
+    ref_t = None
+    if args.ref_binary:
+        ref_out = args.index_base + ".refparity.paired.tsv"
+        t0 = time.time()
+        r = subprocess.run(
+            [args.ref_binary, "-x", args.index_base,
+             "-1", args.reads, "-2", args.reads2,
+             "-u", str(n_pairs), "-p", "4", "--reorder", "-S", ref_out,
+             "--report-file", "/dev/null"],
+            capture_output=True, text=True)
+        ref_t = time.time() - t0
+        print(f"paired reference rc: {r.returncode} ({ref_t:.1f}s)",
+              flush=True)
+        parity = open(ref_out).read() == ours
+        print(f"paired parity: {parity}", flush=True)
+
+    return {
+        "pairs_per_sec": round(statistics.median(runs), 1),
+        "mates_per_sec": round(2 * statistics.median(runs), 1),
+        "runs": [round(x, 1) for x in runs],
+        "pairs": n_pairs,
+        "parity_vs_reference_binary": parity,
+        "ref_cpu_total_seconds": round(ref_t, 1) if ref_t else None,
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("index_base")
@@ -130,6 +199,10 @@ def main(argv=None):
               f"{ref_marginal and round(ref_marginal, 1)} reads/s",
               flush=True)
 
+    paired = None
+    if args.reads2:
+        paired = _paired_leg(args, idx, pipe.dfm)
+
     line = json.dumps({
         "metric": "wide_reads_per_sec_e2e",
         "value": round(statistics.median(runs), 1),
@@ -137,8 +210,12 @@ def main(argv=None):
         "runs": [round(x, 1) for x in runs],
         "reads": len(reads),
         "bwt_len": int(idx.bwt_len),
+        "deep_ftab": bool(pipe.dfm.nblk12),
         "parity_vs_reference_binary": parity,
         "ref_cpu_total_seconds": round(ref_t, 1) if ref_t else None,
+        "ref_cpu_marginal_reads_per_sec":
+            round(ref_marginal, 1) if ref_marginal else None,
+        "paired": paired,
     })
     print(line, flush=True)
     if args.out:

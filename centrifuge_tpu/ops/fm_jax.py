@@ -22,6 +22,7 @@ is still one gather.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -164,19 +165,26 @@ class DeviceFMIndex:
                 "mode first (jax.config.update('jax_enable_x64', True))")
         rows = pack_bwt_blocks(idx.bwt, wide)
         if deep_ftab is None:
-            # worth it when the expected depth-12 range is still >= ~2
-            # occurrences (random-text model: bwt_len / 4^12): on small
-            # indexes most 12-mers are absent and the failed deep prime
-            # would cost one extra step per search start
-            deep_ftab = (idx.ftab_chars == 10
-                         and idx.bwt_len >= (1 << 25))
+            env = os.environ.get("CENTRIFUGE_TPU_DEEP_FTAB")
+            if env is not None:
+                deep_ftab = env.lower() not in ("0", "off", "false", "no")
+            else:
+                # worth it when the expected depth-12 range is still >= ~2
+                # occurrences (random-text model: bwt_len / 4^12): on small
+                # indexes most 12-mers are absent and the failed deep prime
+                # would cost one extra step per search start
+                deep_ftab = (idx.ftab_chars == 10
+                             and idx.bwt_len >= (1 << 25))
         ftab12 = None
         if deep_ftab:
+            # ftab_extend returns None itself when the native library is
+            # absent; only an import/ctypes wiring failure lands here
             try:
                 from ..native.fmwalk import ftab_extend
-                ftab12 = ftab_extend(rows, idx, wide)
-            except Exception:
+            except ImportError:
                 ftab12 = None
+            else:
+                ftab12 = ftab_extend(rows, idx, wide)
 
         put = functools.partial(jax.device_put, device=device)
         it = np.int64 if wide else np.int32
