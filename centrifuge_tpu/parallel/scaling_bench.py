@@ -26,7 +26,163 @@ import sys
 import time
 
 
+def _virtual_dp_leg(argv):
+    """One dp-sweep point: classify a fixed per-device read count over a
+    (dp, 1) mesh of virtual CPU devices; prints one JSON line."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dp", type=int, required=True)
+    ap.add_argument("-x", dest="index", required=True)
+    ap.add_argument("-U", dest="reads", required=True)
+    ap.add_argument("--per-device-batch", type=int, default=2048)
+    ap.add_argument("--batches", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from ..classify.tpu_pipeline import TPUClassificationPipeline
+    from ..index.cf_io import load_cf_index
+    from ..io.fastx import read_batch
+    from .sharded import make_mesh
+
+    idx = load_cf_index(args.index)
+    mesh = make_mesh(args.dp, 1)
+    pipe = TPUClassificationPipeline(idx, mesh=mesh)
+    B = args.per_device_batch * args.dp       # weak scaling: fixed/device
+    n = B * args.batches
+    reads = read_batch([args.reads])
+    while len(reads) < n:                     # tile if the file is short
+        reads = reads + reads
+    reads = reads[:n]
+    for _ in pipe.classify_stream_unpaired([reads[:B]]):
+        pass                                  # warmup/compile
+    t0 = time.time()
+    for _ in pipe.classify_stream_unpaired(
+            reads[i: i + B] for i in range(0, n, B)):
+        pass
+    dt = time.time() - t0
+    print(json.dumps({"dp": args.dp, "reads": n,
+                      "reads_per_sec": round(n / dt, 1),
+                      "seconds": round(dt, 3)}))
+    return 0
+
+
+def _sweep(argv):
+    """Produce the scaling-efficiency artifact on this (single-chip,
+    4-vCPU) machine: a dp=1/2/4/8 weak-scaling curve over virtual CPU
+    devices plus 1-vs-2-vs-4-process multihost legs, with the honest
+    caveat that oversubscribed CPU timings bound the wiring overhead,
+    not real ICI/DCN hardware (BASELINE's >=80% target needs a pod
+    slice; the ICI cost model lives in SHARDBENCH's collective census).
+    Reference analog: pthread scaling, MANUAL.markdown:1000-1010."""
+    import os
+    import subprocess
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-x", dest="index",
+                    default="tests/fixtures/synth/synth")
+    ap.add_argument("-U", dest="reads", default=None)
+    ap.add_argument("--per-device-batch", type=int, default=2048)
+    ap.add_argument("--out", default="SCALING_r04.json")
+    args = ap.parse_args(argv)
+    if args.reads is None:
+        # prefer bench.py's 49k sim file (fills 2048-read batches at
+        # nprocs=4); the 3000-read fixture is the fallback
+        sim = "/tmp/cftpu_bench_sim_49152.fq"
+        args.reads = (sim if os.path.exists(sim)
+                      else "tests/fixtures/synth/reads.fq")
+
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+
+    dp_curve = []
+    for dp in (1, 2, 4, 8):
+        r = subprocess.run(
+            [sys.executable, "-m", "centrifuge_tpu.parallel.scaling_bench",
+             "--virtual-dp", "--dp", str(dp), "-x", args.index,
+             "-U", args.reads,
+             "--per-device-batch", str(args.per_device_batch)],
+            env=env, capture_output=True, text=True)
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(r.stdout, r.stderr, file=sys.stderr)
+            raise RuntimeError(f"dp={dp} leg failed")
+        rec = json.loads(line[-1])
+        rec["weak_efficiency"] = (
+            round(rec["reads_per_sec"]
+                  / (dp * dp_curve[0]["reads_per_sec"]), 3)
+            if dp_curve else 1.0)
+        dp_curve.append(rec)
+        print(f"dp={dp}: {rec['reads_per_sec']} reads/s "
+              f"eff={rec['weak_efficiency']}", flush=True)
+
+    host_curve = []
+    for nprocs in (1, 2, 4):
+        procs = []
+        outs = []
+        for pid in range(nprocs):
+            cmd = [sys.executable, "-m",
+                   "centrifuge_tpu.parallel.scaling_bench",
+                   "--coordinator", f"localhost:{12671 + nprocs}",
+                   "--nprocs", str(nprocs), "--procid", str(pid),
+                   "--local-devices", "2",
+                   "-x", args.index, "-U", args.reads,
+                   # 2 batches/process when the 49k sim file is present;
+                   # the 3000-read fixture degrades to 1x512 per process
+                   "--batch", "512", "--limit", str(4096 * nprocs)]
+            procs.append(subprocess.Popen(
+                cmd, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True))
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            outs.append((p.returncode, out, err))
+        line = [l for l in outs[0][1].splitlines() if l.startswith("{")]
+        if not line or any(rc for rc, _, _ in outs):
+            for rc, out, err in outs:
+                print(rc, out[-500:], err[-1000:], file=sys.stderr)
+            raise RuntimeError(f"nprocs={nprocs} leg failed")
+        rec = json.loads(line[-1])
+        rec["weak_efficiency"] = (
+            round(rec["aggregate_reads_per_sec"]
+                  / (nprocs * host_curve[0]["aggregate_reads_per_sec"]), 3)
+            if host_curve else 1.0)
+        host_curve.append(rec)
+        print(f"nprocs={nprocs}: {rec['aggregate_reads_per_sec']} "
+              f"aggregate reads/s eff={rec['weak_efficiency']}", flush=True)
+
+    artifact = {
+        "metric": "scaling_efficiency_virtual",
+        "weak_scaling_dp_curve": dp_curve,
+        "weak_scaling_multiprocess_curve": host_curve,
+        "hardware_caveat": (
+            "Measured on ONE machine (4 vCPUs) with virtual CPU devices: "
+            "dp=4/8 and nprocs=4 oversubscribe physical cores, so these "
+            "efficiencies are a LOWER bound on wiring overhead, not a "
+            "hardware ICI/DCN measurement. Real multi-chip hardware is "
+            "not available in this environment."),
+        "ici_model": (
+            "During search the dp axis issues NO cross-device "
+            "collectives (reads are embarrassingly parallel; psums span "
+            "only the fm subgroup -- SHARDBENCH collective census), so "
+            "on a real pod slice dp scaling is bounded by per-host "
+            "dispatch + output transport, both constant per device. "
+            "The >=80%-at-2-hosts BASELINE target therefore hinges on "
+            "the DCN host-sync path (multihost.sync_max per batch), "
+            "~10-100 us/batch on DCN vs the ~0.5-1 s/batch device step: "
+            "<0.1% overhead by the model. Model-derived, not measured."),
+    }
+    with open(args.out, "w") as f:
+        f.write(json.dumps(artifact, indent=1) + "\n")
+    print(f"wrote {args.out}", flush=True)
+    return 0
+
+
 def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--sweep" in argv:
+        argv.remove("--sweep")
+        return _sweep(argv)
+    if "--virtual-dp" in argv:
+        argv.remove("--virtual-dp")
+        return _virtual_dp_leg(argv)
     ap = argparse.ArgumentParser()
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--nprocs", type=int, required=True)
