@@ -69,6 +69,20 @@ class TPUClassificationPipeline:
                 sharr, mesh, cfg.classifier.min_hitlen)
             resolver = make_sharded_resolver(mesh, sharr)
             self._init_with_engine(idx, cfg, engine, resolver)
+            import jax
+            if cfg.host_resolve and jax.process_count() == 1:
+                # same policy as the single-chip path: SA resolution is
+                # a host-side LF walk over the (host-resident) packed
+                # blocks, skipping the per-batch device resolve round
+                # trip. The device resolver above stays as the fallback
+                # and the multi-process path (where per-host decisions
+                # must stay SPMD-synced) keeps it.
+                try:
+                    from ..native.fmwalk import HostResolver
+                    self.resolver = HostResolver(sharr.blocks, idx,
+                                                 sharr.wide)
+                except (ImportError, RuntimeError):
+                    pass  # native lib absent: keep the device resolver
         else:
             # a prebuilt DeviceFMIndex skips the host block packing +
             # device upload (minutes for multi-Gbp indexes), letting

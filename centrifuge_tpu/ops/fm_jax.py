@@ -57,6 +57,37 @@ def _fchr_select(fchr: jax.Array, chars: jax.Array) -> jax.Array:
         axis=1, dtype=fchr.dtype)
 
 
+def pack_ftab_rows(top_arr: np.ndarray, bot_arr: np.ndarray, wide: bool,
+                   width: int) -> np.ndarray:
+    """Pack (top, bot) ftab entries into block-shaped uint32 rows so the
+    fused one-row step can gather a start lane's ftab entry from the
+    same unified table as the BWT blocks (fused_step_lookup1). Layout:
+    narrow = 16 (top, bot) pairs per row; wide = 8 entries x 4 words
+    (top_lo, top_hi, bot_lo, bot_hi)."""
+    ne = top_arr.shape[0]
+    if wide:
+        per = 8
+        nfr = (ne + per - 1) // per
+        fr = np.zeros((nfr, width), dtype=np.uint32)
+        quads = np.zeros((nfr * per, 4), dtype=np.uint32)
+        t64 = top_arr.astype(np.uint64)
+        b64 = bot_arr.astype(np.uint64)
+        quads[:ne, 0] = (t64 & 0xFFFFFFFF).astype(np.uint32)
+        quads[:ne, 1] = (t64 >> 32).astype(np.uint32)
+        quads[:ne, 2] = (b64 & 0xFFFFFFFF).astype(np.uint32)
+        quads[:ne, 3] = (b64 >> 32).astype(np.uint32)
+        fr[:, : per * 4] = quads.reshape(nfr, per * 4)
+    else:
+        per = 16
+        nfr = (ne + per - 1) // per
+        fr = np.zeros((nfr, width), dtype=np.uint32)
+        pairs = np.zeros((nfr * per, 2), dtype=np.uint32)
+        pairs[:ne, 0] = top_arr.astype(np.uint32)
+        pairs[:ne, 1] = bot_arr.astype(np.uint32)
+        fr[:, : per * 2] = pairs.reshape(nfr, per * 2)
+    return fr
+
+
 def pack_bwt_blocks(bwt: np.ndarray, wide: bool) -> np.ndarray:
     """Repack a BWT code array into 512-base device block rows.
 
@@ -193,37 +224,12 @@ class DeviceFMIndex:
 
         # --- unified table: ftab entries packed into block-shaped rows ---
         width = rows.shape[1]
-
-        def pack_entries(top_arr, bot_arr):
-            ne = top_arr.shape[0]
-            if wide:
-                per = 8      # 8 entries x 4 words (lo/hi pairs)
-                nfr = (ne + per - 1) // per
-                fr = np.zeros((nfr, width), dtype=np.uint32)
-                quads = np.zeros((nfr * per, 4), dtype=np.uint32)
-                t64 = top_arr.astype(np.uint64)
-                b64 = bot_arr.astype(np.uint64)
-                quads[:ne, 0] = (t64 & 0xFFFFFFFF).astype(np.uint32)
-                quads[:ne, 1] = (t64 >> 32).astype(np.uint32)
-                quads[:ne, 2] = (b64 & 0xFFFFFFFF).astype(np.uint32)
-                quads[:ne, 3] = (b64 >> 32).astype(np.uint32)
-                fr[:, : per * 4] = quads.reshape(nfr, per * 4)
-            else:
-                per = 16     # 16 (top, bot) pairs
-                nfr = (ne + per - 1) // per
-                fr = np.zeros((nfr, width), dtype=np.uint32)
-                pairs = np.zeros((nfr * per, 2), dtype=np.uint32)
-                pairs[:ne, 0] = top_arr.astype(np.uint32)
-                pairs[:ne, 1] = bot_arr.astype(np.uint32)
-                fr[:, : per * 2] = pairs.reshape(nfr, per * 2)
-            return fr
-
-        frows = pack_entries(idx.ftab_top, idx.ftab_bot)
+        frows = pack_ftab_rows(idx.ftab_top, idx.ftab_bot, wide, width)
         parts = [rows, frows]
         nblk12 = 0
         if ftab12 is not None:
             nblk12 = rows.shape[0] + frows.shape[0]
-            parts.append(pack_entries(ftab12[0], ftab12[1]))
+            parts.append(pack_ftab_rows(ftab12[0], ftab12[1], wide, width))
         ufm = np.concatenate(parts, axis=0)
 
         # one device allocation serves both: row-indexed kernels only ever

@@ -177,7 +177,9 @@ def leg_cpu(out):
             "lanes": L,
             "fused_payload_bytes": payload,
             "per_step_us_v5e_ring": round(per_step_us, 1),
-            "note": "per-step gather cost on a multi-GB table is "
+            "note": "MODEL-DERIVED (assumed v5e link constants; only "
+                    "the fused-allreduce census above is measured): "
+                    "per-step gather cost on a multi-GB table is "
                     "~0.5-1 ms at 32k lanes (14-18 ns/row x 2L rows, "
                     "CLAUDE.md cost model), so ONE fused all-reduce per "
                     f"step at ~{per_step_us:.0f} us adds <10%: BWT-range "

@@ -47,7 +47,7 @@ except ImportError:  # older jax
 from ..index.cf_io import CFIndex
 from ..ops.fm_jax import (BLOCK_BASES, WORDS_PER_BLOCK, _fchr_select,
                           _rank_from_rows, _select_col, pack_bwt_blocks,
-                          rank_in_block)
+                          pack_ftab_rows, rank_in_block)
 from ..classify.engine import (FMKernels, POOL_SLOTS_PER_LANE, _bucket,
                                _bucket_len, _pack_search_outputs,
                                _start_host_copy, _unpack_pool_outputs,
@@ -69,6 +69,13 @@ class ShardedFMArrays:
     """Host-prepped, fm-axis-padded index arrays + geometry."""
 
     blocks: np.ndarray      # uint32[nblk_pad, 36|40]
+    ufm: np.ndarray         # uint32[nblk_pad + nfr_pad, 36|40]: per-shard
+                            # interleave of [block rows | packed ftab
+                            # rows] so each fm shard's slice is its local
+                            # unified table (ONE gather serves both the
+                            # rank and the start-lane ftab read, the
+                            # single-chip fused_step_lookup1 geometry)
+    nfr_per: int            # packed ftab rows per fm shard
     fchr: np.ndarray        # row-dtype[5] (replicated)
     ftab_tb: np.ndarray     # row-dtype[4^fc, 2] stacked (top, bot)
     offs: np.ndarray        # int32[offs_pad]
@@ -115,8 +122,23 @@ class ShardedFMArrays:
 
         if (1 << (2 * idx.ftab_chars)) % n_fm != 0:
             raise ValueError("ftab size must divide the fm axis")
+        rows_p = _pad_to(rows, n_fm)
+        width = rows_p.shape[1]
+        frows_p = _pad_to(
+            pack_ftab_rows(idx.ftab_top, idx.ftab_bot, wide, width), n_fm)
+        nblk_per = rows_p.shape[0] // n_fm
+        nfr_per = frows_p.shape[0] // n_fm
+        stride = nblk_per + nfr_per
+        ufm = np.empty((n_fm * stride, width), np.uint32)
+        for i in range(n_fm):
+            ufm[i * stride: i * stride + nblk_per] = \
+                rows_p[i * nblk_per: (i + 1) * nblk_per]
+            ufm[i * stride + nblk_per: (i + 1) * stride] = \
+                frows_p[i * nfr_per: (i + 1) * nfr_per]
         return ShardedFMArrays(
-            blocks=_pad_to(rows, n_fm),
+            blocks=rows_p,
+            ufm=ufm,
+            nfr_per=nfr_per,
             fchr=idx.fchr.astype(it),
             ftab_tb=np.stack([idx.ftab_top.astype(it),
                               idx.ftab_bot.astype(it)], axis=1),
@@ -191,34 +213,69 @@ def _shard_kernels(sh: ShardedFMArrays, blocks_l, fchr, ftab_tb_l, zoff,
         tb = jax.lax.psum(tb, axis)
         return tb[:, 0], tb[:, 1]
 
+    nfr_per = sh.nfr_per
+    fr_base = (fm_idx * nfr_per).astype(idt)
+    per_shift = 3 if sh.wide else 4   # packed ftab entries per row
+
     def step_lookup1(starting, pending, fi, top, bot, chars):
         """Sharded one-row-per-lane step (the fm-axis analog of
-        fm_jax.fused_step_lookup1): each shard gathers ONE local block
-        row per lane (top's block, or bot's for deferred lanes) instead
-        of the 2L-row concat, plus the masked ftab row; all extracted
-        values reconstitute through psums, which XLA fuses into one
-        all-reduce per step (SHARDBENCH_r03 census)."""
-        ftop, fbot = ftab_lookup(fi)
+        fm_jax.fused_step_lookup1): each shard gathers ONE local row
+        from its unified [blocks | packed ftab] slice -- the start
+        lane's ftab row, the extending lane's top block, or bot's block
+        for deferred lanes. Ownership-masked extractions reconstitute
+        through psums, which XLA fuses into one all-reduce per step
+        (SHARDBENCH census)."""
+        f_l = (fi >> per_shift).astype(idt) - fr_base
+        fvalid = (f_l >= 0) & (f_l < nfr_per)
         blk_t = top >> 9
         prow_g = jnp.where(pending, bot >> 9, blk_t)
-        blk = prow_g - blk_base
-        valid = (blk >= 0) & (blk < nblk_per)
-        data = blocks_l[jnp.clip(blk, 0, nblk_per - 1)]
-        within_t = (top & 511).astype(jnp.int32)
+        b_l = prow_g - blk_base
+        bvalid = (b_l >= 0) & (b_l < nblk_per)
+        lrow = jnp.where(
+            starting,
+            nblk_per + jnp.clip(f_l, 0, nfr_per - 1),
+            jnp.clip(b_l, 0, nblk_per - 1))
+        g = blocks_l[lrow]                        # (L, W): ONE gather
+
+        # --- ftab extraction (start lanes; layout = pack_ftab_rows) ---
+        if sh.wide:
+            q = ((fi & 7) * 4).astype(jnp.int32)
+            tlo = _select_col(g, q).astype(jnp.int64)
+            thi = _select_col(g, q + 1).astype(jnp.int64)
+            blo = _select_col(g, q + 2).astype(jnp.int64)
+            bhi = _select_col(g, q + 3).astype(jnp.int64)
+            ftop = tlo | (thi << 32)
+            fbot = blo | (bhi << 32)
+        else:
+            p = ((fi & 15) * 2).astype(jnp.int32)
+            ftop = _select_col(g, p).astype(jnp.int32)
+            fbot = _select_col(g, p + 1).astype(jnp.int32)
+
+        # --- rank/topchar extraction (extending/pending lanes) ---
         in_reach = bot <= (blk_t + 1) * 512
+        within_t = (top & 511).astype(jnp.int32)
         within_b = jnp.where(
             pending, (bot & 511).astype(jnp.int32),
             jnp.clip(bot - (blk_t << 9), 0, 512).astype(jnp.int32))
-        r_t = _rank_from_rows(data, within_t, chars, zoff, top, word_off)
-        r_b = _rank_from_rows(data, within_b, chars, zoff, bot, word_off)
-        r_t = jax.lax.psum(jnp.where(valid, r_t, 0), axis)
-        r_b = jax.lax.psum(jnp.where(valid, r_b, 0), axis)
-        base = _fchr_select(fchr, chars)
-        word = _select_col(data[:, word_off:], within_t >> 4)
+        r_t = _rank_from_rows(g, within_t, chars, zoff, top, word_off)
+        r_b = _rank_from_rows(g, within_b, chars, zoff, bot, word_off)
+        word = _select_col(g[:, word_off:], within_t >> 4)
         ch = ((word.astype(jnp.uint32)
                >> (2 * (top & 15).astype(jnp.uint32))) & 3
               ).astype(jnp.int32)
-        topchar = jax.lax.psum(jnp.where(valid, ch, 0), axis)
+
+        # ownership masks pick the single contributing shard per lane;
+        # a start lane's row holds ftab data (its "rank" extraction is
+        # garbage) and vice versa, so each value masks on its own phase
+        fmask = starting & fvalid
+        bmask = ~starting & bvalid
+        z = jnp.asarray(0, idt)
+        ftop = jax.lax.psum(jnp.where(fmask, ftop, z), axis)
+        fbot = jax.lax.psum(jnp.where(fmask, fbot, z), axis)
+        r_t = jax.lax.psum(jnp.where(bmask, r_t, z), axis)
+        r_b = jax.lax.psum(jnp.where(bmask, r_b, z), axis)
+        topchar = jax.lax.psum(jnp.where(bmask, ch, 0), axis)
+        base = _fchr_select(fchr, chars)
         return ftop, fbot, base + r_t, base + r_b, topchar, in_reach
 
     return FMKernels(ftab_lookup=ftab_lookup, lf_pair=lf_pair, lf=lf,
@@ -237,7 +294,10 @@ def _device_arrays(mesh: Mesh, sh: ShardedFMArrays):
         return jax.make_array_from_callback(arr.shape, shd,
                                             lambda i: arr[i])
     return (
-        put(sh.blocks, "fm", None),
+        # the unified table: each fm shard's slice is [its block rows |
+        # its packed ftab rows]; block indexes < nblk_per stay valid, so
+        # every kernel (rank walks included) reads the same array
+        put(sh.ufm, "fm", None),
         put(sh.fchr),
         put(sh.ftab_tb, "fm", None),
         put(sh.offs, "fm"),
