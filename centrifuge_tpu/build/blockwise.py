@@ -444,6 +444,29 @@ class StreamingIndexWriter:
                                name_table, size_table)
 
 
+def _vmhwm_bytes() -> int:
+    """Peak RSS (VmHWM) of this process in bytes; 0 if unreadable."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 0
+
+
+def _reset_vmhwm() -> bool:
+    """Reset the kernel's peak-RSS watermark so each build phase can
+    report its OWN peak (writing '5' to clear_refs resets VmHWM)."""
+    try:
+        with open("/proc/self/clear_refs", "w") as f:
+            f.write("5")
+        return True
+    except OSError:
+        return False
+
+
 def write_index_blockwise(basename: str, codes: np.ndarray,
                           szs: List[RefRecord], refnames: List[str],
                           plen: List[int], conversion_table: str,
@@ -451,24 +474,51 @@ def write_index_blockwise(basename: str, codes: np.ndarray,
                           size_table: str = "", bmax: int = None,
                           dcv: int = 1024, offrate: int = 4,
                           ftab_chars: int = 10, line_rate: int = 7,
-                          nthreads: int = None) -> None:
+                          nthreads: int = None,
+                          verbose: bool = False) -> None:
     """Bounded-memory build: SA in O(bmax) blocks, streamed emission.
 
     bmax defaults to the reference's bmaxDivN=4 rule
-    (centrifuge_build.cpp:92-98): n/4 suffixes per block."""
+    (centrifuge_build.cpp:92-98): n/4 suffixes per block.
+
+    With verbose=True each phase reports its own peak RSS (B/base) --
+    sample-rank/bucket construction, block sort+emit, finish -- so the
+    builder's memory budget (blocksa.cpp:28-32, ~2.6 B/base predicted)
+    is auditable separately from whatever else the process did before
+    (e.g. DB generation, which round-3 lumped into one 5.16 B/base
+    number)."""
+    import time as _t
     n = codes.shape[0]
     if bmax is None:
         bmax = max(n // 4, 1 << 16)
     elif bmax < 0:
         # --bmaxdivn sentinel: block size = n / divisor
         bmax = max(n // (-bmax), 1 << 16)
+
+    def phase(name, t0):
+        if verbose:
+            hwm = _vmhwm_bytes()
+            print(f"  [build-rss] {name}: peak {hwm/2**30:.2f} GiB "
+                  f"= {hwm/n:.2f} B/base ({_t.time()-t0:.1f}s)",
+                  flush=True)
+            _reset_vmhwm()
+
+    if verbose and not _reset_vmhwm():
+        print("  [build-rss] VmHWM reset unavailable; phase peaks are "
+              "cumulative", flush=True)
+    t0 = _t.time()
     bsa = BlockwiseSA(codes, bmax=bmax, dcv=dcv, nthreads=nthreads)
+    phase("sample-rank+buckets", t0)
+    t0 = _t.time()
     w = StreamingIndexWriter(basename, codes, szs, refnames, plen,
                              offrate, ftab_chars, line_rate)
     for blk in bsa.blocks():
         w.feed(blk)
     bsa.close()
+    phase("block sort+emit", t0)
+    t0 = _t.time()
     w.finish(conversion_table, taxonomy_tree, name_table, size_table)
+    phase("finish(taxonomy+ftab)", t0)
 
 
 def write_index_from_sa(basename: str, codes: np.ndarray, sa: np.ndarray,

@@ -51,7 +51,7 @@ def build_index(fasta_paths: List[str], basename: str,
                 basename, codes, szs, refnames, plen, conversion_table,
                 taxonomy_tree, name_table, size_table, bmax=bmax, dcv=dcv,
                 offrate=offrate, ftab_chars=ftab_chars,
-                line_rate=line_rate, nthreads=nthreads)
+                line_rate=line_rate, nthreads=nthreads, verbose=verbose)
             if verbose:
                 print(f"  blockwise index written ({time.time()-t0:.1f}s)")
             return
