@@ -101,6 +101,32 @@ def main():
             pass
         runs.append(len(reads) / (time.perf_counter() - t0))
 
+    # ---- phase 2b: paired throughput (half the reference's interface,
+    # classifier.h:226,530-535). 8192 pairs/batch = the same 32k-lane
+    # kernel shape as phase 2, so no extra search compile. ----
+    pair_prefix = os.path.join("/tmp", "cftpu_bench_pairs_8192")
+    if not os.path.exists(pair_prefix + "_1.fq"):
+        simulate(os.path.join(FIXDIR, "db.fa"),
+                 os.path.join(FIXDIR, "conv.dmp"), pair_prefix,
+                 SimConfig(num_fragments=8192, read_length=150,
+                           error_rate=0.002, seed=43, paired=True))
+    m1 = read_batch([pair_prefix + "_1.fq"])
+    m2 = read_batch([pair_prefix + "_2.fq"])
+    pairs = list(zip(m1, m2))[:BATCH // 2]
+    pipe = TPUClassificationPipeline(idx)
+    _share_shapes(pipe)
+    for _ in pipe.classify_stream_paired([pairs]):
+        pass  # warmup (native paired tail)
+    pruns = []
+    for _ in range(TRIALS):
+        pipe = TPUClassificationPipeline(idx)
+        _share_shapes(pipe)
+        t0 = time.perf_counter()
+        for _ in pipe.classify_stream_paired([pairs]):
+            pass
+        pruns.append(len(pairs) / (time.perf_counter() - t0))
+    pps = statistics.median(pruns)
+
     # ---- phase 3: device-only search time (variance-robust secondary
     # metric). The e2e number rides the axon tunnel, whose run-to-run
     # variance is >2x; this one is a device-side block (scalar checksum
@@ -123,6 +149,8 @@ def main():
         "reads": len(reads),
         "device_search_ms_per_batch": round(dev_s * 1e3, 1),
         "device_batch_lanes": 2 * BATCH,
+        "paired_pairs_per_sec": round(pps, 1),
+        "paired_runs": [round(r, 1) for r in pruns],
         "parity_ok": parity_ok,
         "native_engine": pipe.native is not None,
     }))
