@@ -131,6 +131,45 @@ def test_sharded_e2e_paired_and_report(synth_index, tmp_path):
         fixture_path("synth", "golden_paired_report.tsv")).read()
 
 
+@pytest.mark.parametrize("dp,fm,wide", [(2, 2, False), (2, 2, True)])
+def test_sharded_pool_and_compaction_paths(synth_index, dp, fm, wide):
+    """Force the round-4 ported fast paths -- dense hit-pool output and
+    lockstep survivor compaction -- at test scale by lowering the engine
+    thresholds, and require raw search equality with the single-chip
+    engine run the same way (which test_parity pins to the oracle)."""
+    mesh = _mesh(dp, fm)
+    sh = ShardedFMArrays.build(synth_index, fm, wide=wide)
+    seng = ShardedSearchEngine(sh, mesh)
+    # per-shard width must be >= 1024 for the compaction schedule to
+    # survive _segments' 256-row quantization: 1024 reads -> 2048 lanes
+    # -> 1024/dp-shard, w2 = 768 < 1024 so the compact level is real
+    seng.pool_min_lanes = 32         # pool transport at per-shard >= 32
+    seng.segment_min_lanes = 64      # compaction schedule kicks in
+    seng.lane_bucket_lo = 256
+
+    dfm = DeviceFMIndex.build(synth_index)
+    deng = BatchSearchEngine(dfm)
+    deng.pool_min_lanes = 32
+    deng.segment_min_lanes = 64
+    deng.lane_bucket_lo = 256
+
+    recs = read_batch([fixture_path("synth", "reads.fq")], limit=1024)
+    seqs = []
+    for r in recs:
+        seqs.append(r.seq)
+        seqs.append(r.revcomp())
+
+    got = seng.search(seqs)
+    want = deng.search(seqs)
+    np.testing.assert_array_equal(got[4], want[4])
+    np.testing.assert_array_equal(got[5], want[5])
+    for lane in range(len(seqs)):
+        k = min(int(want[4][lane]), got[0].shape[1], want[0].shape[1])
+        for j in range(4):
+            np.testing.assert_array_equal(got[j][lane, :k],
+                                          want[j][lane, :k])
+
+
 def test_graft_entry_contract():
     """entry() compiles single-chip; dryrun_multichip runs FULL
     classification on the cpu mesh and asserts golden TSV equality."""
