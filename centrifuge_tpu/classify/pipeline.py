@@ -143,17 +143,40 @@ def read_passes(rec, cfg: "PipelineConfig") -> bool:
             and (not cfg.qc_filter or rec.filter != b"0"))
 
 
-def batch_read_passes(recs, cfg: "PipelineConfig") -> List[bool]:
+def batch_flat_seqs(recs):
+    """(flat, lens, offsets) of every rec.seq concatenated once.
+
+    The batched prep/filter/seed passes each need the same concatenated
+    code buffer; computing it once per batch and passing it down saves
+    two 16k-array np.concatenate calls (~5 ms each at 16k reads)."""
+    n = len(recs)
+    lens = (np.fromiter((len(r.seq) for r in recs), np.int64, n)
+            if n else np.zeros(0, np.int64))
+    off = np.zeros(n + 1, dtype=np.int64)
+    if n:
+        np.cumsum(lens, out=off[1:])
+    flat = (np.concatenate([r.seq for r in recs]) if n and off[-1]
+            else np.zeros(0, np.uint8))
+    return flat, lens, off
+
+
+def batch_read_passes(recs, cfg: "PipelineConfig",
+                      flat3=None) -> List[bool]:
     """read_passes over a batch with one numpy pass (the per-read
     count_nonzero calls cost ~8 us each; a batch of 8k reads paid ~60 ms
-    in filters alone)."""
+    in filters alone). `flat3`: optional (flat, lens, offsets) from
+    batch_flat_seqs to skip the concatenate."""
     n = len(recs)
     if n == 0:
         return []
-    lens = np.fromiter((len(r.seq) for r in recs), np.int64, n)
-    total = int(lens.sum())
+    if flat3 is not None:
+        flat, lens, _ = flat3
+        total = int(flat.shape[0])
+    else:
+        lens = np.fromiter((len(r.seq) for r in recs), np.int64, n)
+        total = int(lens.sum())
+        flat = np.concatenate([r.seq for r in recs]) if total else None
     if total:
-        flat = np.concatenate([r.seq for r in recs])
         # segment sums via an inclusive prefix with a leading 0:
         # counts[i] = cs[end_i] - cs[start_i]; robust to empty segments
         cs = np.zeros(total + 1, dtype=np.int64)
@@ -171,18 +194,24 @@ def batch_read_passes(recs, cfg: "PipelineConfig") -> List[bool]:
     return ok.tolist()
 
 
-def batch_revcomp(recs) -> List[np.ndarray]:
+def batch_revcomp(recs, flat3=None) -> List[np.ndarray]:
     """Reverse complements for a batch of ReadRecs as zero-copy views of
-    one complemented flat buffer (one table lookup instead of 8k)."""
+    one complemented flat buffer (one table lookup instead of 8k).
+    `flat3`: optional (flat, lens, offsets) from batch_flat_seqs."""
     from ..io.fastx import COMP
     if not recs:
         return []
-    lens = [len(r.seq) for r in recs]
-    flat = COMP[np.concatenate([r.seq for r in recs])] if sum(lens) \
-        else np.zeros(0, np.uint8)
+    if flat3 is not None:
+        cat, lens, _ = flat3
+        flat = COMP[cat] if cat.shape[0] else np.zeros(0, np.uint8)
+    else:
+        lens = [len(r.seq) for r in recs]
+        flat = COMP[np.concatenate([r.seq for r in recs])] if sum(lens) \
+            else np.zeros(0, np.uint8)
     out = []
     off = 0
     for ln in lens:
+        ln = int(ln)
         out.append(flat[off:off + ln][::-1])
         off += ln
     return out

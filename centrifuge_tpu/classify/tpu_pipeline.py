@@ -28,8 +28,8 @@ from .algo import (OFF_MASK, Classifier, PartialHit, StrandState,
                    extend_and_filter, select_results)
 from .engine import BatchSearchEngine
 from .pipeline import (DEFAULT_COLUMNS, PipelineConfig, ResultFormatter,
-                       SpeciesMetrics, batch_read_passes, batch_revcomp,
-                       n_filter, read_passes)
+                       SpeciesMetrics, batch_flat_seqs, batch_read_passes,
+                       batch_revcomp, n_filter, read_passes)
 
 
 def _states_from_arrays(h_top, h_bot, h_off, h_len, nhits, sums, lane,
@@ -246,9 +246,9 @@ class TPUClassificationPipeline:
             self.metrics.wl_bwops = bw
         return out
 
-    def _prep_unpaired(self, recs):
+    def _prep_unpaired(self, recs, flat3=None):
         """[[(seq, revcomp)]] per read with ONE batched complement."""
-        rcs = batch_revcomp(recs)
+        rcs = batch_revcomp(recs, flat3=flat3)
         return [[(r.seq, rc)] for r, rc in zip(recs, rcs)]
 
     def _emit_rows(self, recs, passes, results) -> List[str]:
@@ -279,8 +279,9 @@ class TPUClassificationPipeline:
         return rows
 
     def classify_batch_unpaired(self, recs: Sequence[ReadRec]) -> List[str]:
-        units = self._prep_unpaired(recs)
-        passes = batch_read_passes(recs, self.cfg)
+        flat3 = batch_flat_seqs(recs)
+        units = self._prep_unpaired(recs, flat3=flat3)
+        passes = batch_read_passes(recs, self.cfg, flat3=flat3)
         self._tally_outer(recs, passes)
         if self.native is not None:
             fut = self._dispatch_units(units, passes)
@@ -305,13 +306,14 @@ class TPUClassificationPipeline:
         from collections import deque
         pending = deque()  # (recs, passes, units, device_future, seeds)
         for recs in batches:
-            units = self._prep_unpaired(recs)
-            passes = batch_read_passes(recs, self.cfg)
+            flat3 = batch_flat_seqs(recs)
+            units = self._prep_unpaired(recs, flat3=flat3)
+            passes = batch_read_passes(recs, self.cfg, flat3=flat3)
             self._tally_outer(recs, passes)
             fut = self._dispatch_units(units, passes)
             # seeds depend only on inputs: hash them now so the work
             # overlaps the device instead of sitting after the collect
-            seeds = gen_read_seeds_batch(recs, self.cfg.seed)
+            seeds = gen_read_seeds_batch(recs, self.cfg.seed, flat3=flat3)
             pending.append((recs, passes, units, fut, seeds))
             # keep 3 batches in flight: upload/compute/download of later
             # batches overlap host assignment work on batch N
@@ -350,8 +352,9 @@ class TPUClassificationPipeline:
                                                    secbest)
 
             for recs in batches:
-                units = self._prep_unpaired(recs)
-                passes = batch_read_passes(recs, self.cfg)
+                flat3 = batch_flat_seqs(recs)
+                units = self._prep_unpaired(recs, flat3=flat3)
+                passes = batch_read_passes(recs, self.cfg, flat3=flat3)
                 self._tally_outer(recs, passes)
                 fut = self._dispatch_units(units, passes)
                 q.append((recs, passes,
@@ -362,17 +365,36 @@ class TPUClassificationPipeline:
                 yield finish(q.popleft())
 
     def _dispatch_units(self, units, active):
-        """Launch the device search for a batch; returns an opaque handle."""
+        """Launch the device search for a batch; returns an opaque handle.
+
+        lane_map is an (L, 3) int32 ndarray of (unit, mate, strand) per
+        lane -- built vectorized (a 32k-lane batch paid ~8 ms in Python
+        tuple building + re-parsing); rows still unpack like tuples for
+        the Python fallback path."""
         lane_seqs: List[np.ndarray] = []
-        lane_map: List[Tuple[int, int, int]] = []
-        for ui, (unit, ok) in enumerate(zip(units, active)):
+        for unit, ok in zip(units, active):
             if not ok:
                 continue
-            for mi, (fw, rc) in enumerate(unit):
+            for fw, rc in unit:
                 lane_seqs.append(fw)
-                lane_map.append((ui, mi, 0))
                 lane_seqs.append(rc)
-                lane_map.append((ui, mi, 1))
+        nu = len(units)
+        act = np.fromiter((bool(ok) for ok in active), np.bool_, nu) \
+            if nu else np.zeros(0, np.bool_)
+        nm = np.fromiter((len(u) for u in units), np.int64, nu) \
+            if nu else np.zeros(0, np.int64)
+        ui_act = np.flatnonzero(act)
+        nm_act = nm[ui_act]
+        tot_m = int(nm_act.sum())
+        lane_unit = np.repeat(ui_act, 2 * nm_act).astype(np.int32)
+        # mate index within unit: global mate counter minus the unit's
+        # first-mate offset (strand alternates fastest)
+        mate_ctr = np.arange(2 * tot_m, dtype=np.int64) // 2
+        first = np.repeat(np.cumsum(nm_act) - nm_act, 2 * nm_act)
+        lane_mate = (mate_ctr - first).astype(np.int32)
+        lane_strand = np.tile(np.array([0, 1], np.int32), tot_m)
+        lane_map = np.stack([lane_unit, lane_mate, lane_strand], axis=1) \
+            if tot_m else np.zeros((0, 3), np.int32)
         handle = None
         if lane_seqs:
             handle = self.engine.search_async(

@@ -178,9 +178,18 @@ class NativeAssigner:
             np.ascontiguousarray(a, dtype=np.int32) for a in arrays[2:]]
         L = h_top.shape[0]
         mh = h_top.shape[1]
-        lane_unit = np.array([u for u, _, _ in lane_map], dtype=np.int32)
-        lane_mate = np.array([m for _, m, _ in lane_map], dtype=np.int32)
-        lane_strand = np.array([s for _, _, s in lane_map], dtype=np.int32)
+        if isinstance(lane_map, np.ndarray):
+            lm = np.ascontiguousarray(lane_map, dtype=np.int32)
+            lane_unit = np.ascontiguousarray(lm[:, 0])
+            lane_mate = np.ascontiguousarray(lm[:, 1])
+            lane_strand = np.ascontiguousarray(lm[:, 2])
+        else:
+            lane_unit = np.array([u for u, _, _ in lane_map],
+                                 dtype=np.int32)
+            lane_mate = np.array([m for _, m, _ in lane_map],
+                                 dtype=np.int32)
+            lane_strand = np.array([s for _, _, s in lane_map],
+                                   dtype=np.int32)
         n_units = len(units)
         n_mates = np.array([len(u) for u in units], dtype=np.int32)
         mate_len = np.zeros((n_units, 2), dtype=np.int32)
@@ -257,11 +266,18 @@ class NativeAssigner:
                 mrows = rows[miss]
                 if metrics is not None:
                     metrics.resolve_miss_rows += mrows.shape[0]
-                from ..classify.engine import _bucket
-                padded = np.zeros(_bucket(mrows.shape[0]), rdt)
-                padded[: mrows.shape[0]] = mrows
-                values[miss] = np.asarray(
-                    resolver(padded))[: mrows.shape[0]]
+                if getattr(resolver, "needs_bucket", True):
+                    # device resolver: pad to a jit shape bucket so the
+                    # tunnel reuses one compiled program
+                    from ..classify.engine import _bucket
+                    padded = np.zeros(_bucket(mrows.shape[0]), rdt)
+                    padded[: mrows.shape[0]] = mrows
+                    values[miss] = np.asarray(
+                        resolver(padded))[: mrows.shape[0]]
+                else:
+                    # host walk: no shape constraint; padded zero-rows
+                    # would each cost a full wasted walk
+                    values[miss] = np.asarray(resolver(mrows))
             values = np.ascontiguousarray(values, np.int32)
         elif round_sync is not None:
             # multi-host: issue the resolve even with zero local

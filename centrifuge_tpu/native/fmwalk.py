@@ -72,6 +72,9 @@ class HostResolver:
         self.narrow = int(idx.npat <= 0xFFFF)
         self.max_steps = max_steps
         self.wide = wide                  # resolver-protocol attribute
+        # host walk takes any row count: callers need not pad to a jit
+        # shape bucket (each padded zero-row costs a full wasted walk)
+        self.needs_bucket = False
         self.nthreads = nthreads or min(8, os.cpu_count() or 1)
         # cumulative LF steps across calls (--met ResBWOp; the
         # reference's WalkMetrics bwops, group_walk.h:884,987)

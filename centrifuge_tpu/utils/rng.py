@@ -71,13 +71,16 @@ def _concat_offsets(parts, np):
     return off, lens
 
 
-def gen_read_seeds_batch(recs, seed: int):
+def gen_read_seeds_batch(recs, seed: int, flat3=None):
     """Vectorized gen_read_seed over a batch of ReadRecs.
 
     Fast path: the native gen_seeds (assign.cpp) folds concatenated
     seq/qual/name buffers in C threads (~2 ms for 8k reads). Fallback:
     segmented XOR prefix scans over one concatenated buffer per fold --
     no per-read numpy calls (they dominated at ~15 us/read).
+
+    flat3: optional (flat, lens, offsets) of concatenated rec.seq from
+    classify.pipeline.batch_flat_seqs, to skip re-concatenating.
     """
     import numpy as np
     n = len(recs)
@@ -91,9 +94,13 @@ def gen_read_seeds_batch(recs, seed: int):
     except Exception:
         lib = None
     if lib is not None:
-        soff, _ = _concat_offsets([r.seq for r in recs], np)
-        sflat = (np.concatenate([r.seq for r in recs])
-                 .astype(np.uint8, copy=False))
+        if flat3 is not None:
+            sflat, _, soff = flat3
+            sflat = sflat.astype(np.uint8, copy=False)
+        else:
+            soff, _ = _concat_offsets([r.seq for r in recs], np)
+            sflat = (np.concatenate([r.seq for r in recs])
+                     .astype(np.uint8, copy=False))
         qflat = np.frombuffer(b"".join(r.qual for r in recs), np.uint8)
         qoff, _ = _concat_offsets([r.qual for r in recs], np)
         nflat = np.frombuffer(b"".join(r.name for r in recs), np.uint8)
