@@ -104,25 +104,28 @@ def main():
     # ---- phase 2b: paired throughput (half the reference's interface,
     # classifier.h:226,530-535). 8192 pairs/batch = the same 32k-lane
     # kernel shape as phase 2, so no extra search compile. ----
-    pair_prefix = os.path.join("/tmp", "cftpu_bench_pairs_8192")
+    n_pairs = 3 * (BATCH // 2)   # 3 batches: fills the 3-deep pipeline
+    pair_prefix = os.path.join("/tmp", f"cftpu_bench_pairs_{n_pairs}")
     if not os.path.exists(pair_prefix + "_1.fq"):
         simulate(os.path.join(FIXDIR, "db.fa"),
                  os.path.join(FIXDIR, "conv.dmp"), pair_prefix,
-                 SimConfig(num_fragments=8192, read_length=150,
+                 SimConfig(num_fragments=n_pairs, read_length=150,
                            error_rate=0.002, seed=43, paired=True))
     m1 = read_batch([pair_prefix + "_1.fq"])
     m2 = read_batch([pair_prefix + "_2.fq"])
-    pairs = list(zip(m1, m2))[:BATCH // 2]
+    pairs = list(zip(m1, m2))[:n_pairs]
+    pb = BATCH // 2              # 8192 pairs = the same 32k-lane shape
     pipe = TPUClassificationPipeline(idx)
     _share_shapes(pipe)
-    for _ in pipe.classify_stream_paired([pairs]):
+    for _ in pipe.classify_stream_paired([pairs[:pb]]):
         pass  # warmup (native paired tail)
     pruns = []
     for _ in range(TRIALS):
         pipe = TPUClassificationPipeline(idx)
         _share_shapes(pipe)
         t0 = time.perf_counter()
-        for _ in pipe.classify_stream_paired([pairs]):
+        for _ in pipe.classify_stream_paired(
+                pairs[i: i + pb] for i in range(0, len(pairs), pb)):
             pass
         pruns.append(len(pairs) / (time.perf_counter() - t0))
     pps = statistics.median(pruns)
