@@ -391,33 +391,55 @@ i64 bsa_block(void* ctx, i64 b, i64* out, i64 cap) {
     if (want > cap) return -1;
     i64 k = 0;
     {
-        // threaded gather: each thread scans a text slice into its own
-        // buffer; buffers are concatenated in slice order (the following
-        // sort ignores input order)
+        // threaded gather, two passes writing straight into `out`: pass 1
+        // counts each slice's matches, pass 2 scatters at prefix-sum
+        // offsets. No per-thread grow buffers: the old push_back gather
+        // transiently held up to 2x the block (vector doubling) on top
+        // of `out` -- at 12 Gbp that slack alone was ~10-20 GB of peak.
         int nt = std::max(1, c->nthreads);
-        std::vector<std::vector<i64>> part(nt);
-        std::vector<std::thread> ths;
+        std::vector<i64> off(nt + 1, 0);
         i64 chunk = (c->n + nt - 1) / nt;
-        for (int t = 0; t < nt; t++) {
-            ths.emplace_back([&, t]() {
-                i64 lo = t * chunk, hi = std::min(c->n, lo + chunk);
-                auto& dst = part[t];
-                if (c->use8) {
-                    const u8* ids = c->bucket8.data();
-                    for (i64 p = lo; p < hi; p++)
-                        if (ids[p] == (u8)b) dst.push_back(p);
-                } else {
-                    const u16* ids = c->bucket16.data();
-                    for (i64 p = lo; p < hi; p++)
-                        if (ids[p] == (u16)b) dst.push_back(p);
-                }
-            });
+        {
+            std::vector<std::thread> ths;
+            for (int t = 0; t < nt; t++) {
+                ths.emplace_back([&, t]() {
+                    i64 lo = t * chunk, hi = std::min(c->n, lo + chunk);
+                    i64 cnt = 0;
+                    if (c->use8) {
+                        const u8* ids = c->bucket8.data();
+                        for (i64 p = lo; p < hi; p++)
+                            if (ids[p] == (u8)b) cnt++;
+                    } else {
+                        const u16* ids = c->bucket16.data();
+                        for (i64 p = lo; p < hi; p++)
+                            if (ids[p] == (u16)b) cnt++;
+                    }
+                    off[t + 1] = cnt;
+                });
+            }
+            for (auto& th : ths) th.join();
         }
-        for (auto& th : ths) th.join();
-        for (auto& pt : part) {
-            std::memcpy(out + k, pt.data(), pt.size() * sizeof(i64));
-            k += (i64)pt.size();
+        for (int t = 0; t < nt; t++) off[t + 1] += off[t];
+        {
+            std::vector<std::thread> ths;
+            for (int t = 0; t < nt; t++) {
+                ths.emplace_back([&, t]() {
+                    i64 lo = t * chunk, hi = std::min(c->n, lo + chunk);
+                    i64* dst = out + off[t];
+                    if (c->use8) {
+                        const u8* ids = c->bucket8.data();
+                        for (i64 p = lo; p < hi; p++)
+                            if (ids[p] == (u8)b) *dst++ = p;
+                    } else {
+                        const u16* ids = c->bucket16.data();
+                        for (i64 p = lo; p < hi; p++)
+                            if (ids[p] == (u16)b) *dst++ = p;
+                    }
+                });
+            }
+            for (auto& th : ths) th.join();
         }
+        k = off[nt];
     }
     psort(out, k, [&](i64 a, i64 bb) {
         return c->compare(a, bb) < 0;

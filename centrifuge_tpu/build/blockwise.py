@@ -118,16 +118,23 @@ class BlockwiseSA:
         self.nblocks = lib.bsa_num_blocks(self.ctx)
 
     def blocks(self) -> Iterator[np.ndarray]:
+        """Yield each sorted SA block as a VIEW of one reused buffer.
+
+        Consumers must finish with a block before advancing the iterator
+        (StreamingIndexWriter.feed consumes synchronously: the native
+        emit returns after processing, and the numpy path's astype()
+        copies) -- the old per-block defensive .copy() was an extra
+        8*bmax bytes of peak RSS (~12 GB at 12 Gbp / bmaxdivn 8)."""
         buf_cap = 0
         buf = None
         for b in range(self.nblocks):
             need = self.lib.bsa_block_size(self.ctx, b)
             if need > buf_cap:
-                buf_cap = int(need * 1.2) + 64
+                buf_cap = int(need) + 64
                 buf = np.empty(buf_cap, np.int64)
             k = self.lib.bsa_block(self.ctx, b, buf, buf_cap)
             assert k == need, (k, need)
-            yield buf[:k].copy()
+            yield buf[:k]
 
     def close(self):
         if self.ctx:

@@ -150,8 +150,12 @@ def ensure_pcdb(workdir: str, verbose: bool = False,
         t0 = _t.time()
         from ..build.builder import build_index
         n_total = n_genomes * GENOME_LEN
+        # bmaxdivn 16: the block buffer + its sort transients scale with
+        # bmax, and n/16 keeps the whole sort+emit phase under the
+        # ~2.6 B/base budget (blocksa.cpp header); n/8 measured
+        # 4.66 B/base at 12 Gbp before the round-4 gather/copy fixes
         build_index([fa], base, conv, nodes, names, verbose=verbose,
-                    blockwise=True, bmax=n_total // 8)
+                    blockwise=True, bmax=n_total // 16)
         rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
         if verbose:
             print(f"built in {_t.time()-t0:.0f}s; peak RSS "

@@ -146,7 +146,8 @@ def test_blockwise_sa_matches_sais():
         codes[n // 3: n // 3 + n // 5] = codes[: n // 5]  # long repeat
         want = suffix_array(codes)
         bsa = BlockwiseSA(codes, bmax=bmax, dcv=dcv)
-        got = np.concatenate(list(bsa.blocks()))
+        # blocks() yields views of one reused buffer: copy to retain
+        got = np.concatenate([b.copy() for b in bsa.blocks()])
         bsa.close()
         np.testing.assert_array_equal(got, want)
 
