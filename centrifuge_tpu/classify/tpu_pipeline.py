@@ -427,11 +427,16 @@ class TPUClassificationPipeline:
                 # objects and no per-read Python emit loop
                 self._flat_seed_spm()
                 qlens = [len(r.seq) for r in recs]
+                # unpaired: mate 0's length IS the query length; passing
+                # it skips the native tail's per-unit Python loop
+                ml = np.zeros((len(recs), 2), np.int32)
+                ml[:, 0] = qlens
                 rows, unit_nres, secbest = self.native.process_rows(
                     arrays, lane_map, lane_seqs, units,
                     [False] * len(units), seeds, self.engine,
                     self.resolver, [r.name for r in recs], qlens,
-                    self.metrics, prefetch=prefetch, round_sync=self.sync)
+                    self.metrics, prefetch=prefetch, round_sync=self.sync,
+                    mate_len=ml)
                 self._tally_flat(passes, qlens, unit_nres)
                 return rows
             per_unit, secbest = self.native.process(
@@ -495,6 +500,7 @@ class TPUClassificationPipeline:
         units = []
         passes = []
         paired_flags = []
+        mate_len = np.zeros((len(pairs), 2), np.int32)
         m1 = [r1 for r1, _ in pairs]
         m2 = [r2 for _, r2 in pairs if r2 is not None]
         pass1 = batch_read_passes(m1, self.cfg)
@@ -514,12 +520,16 @@ class TPUClassificationPipeline:
             if p1 and p2:
                 units.append([(r1.seq, c1), (r2.seq, c2)])
                 paired_flags.append(True)
+                mate_len[i, 0] = len(r1.seq)
+                mate_len[i, 1] = len(r2.seq)
             elif p1:
                 units.append([(r1.seq, c1)])
                 paired_flags.append(False)
+                mate_len[i, 0] = len(r1.seq)
             elif p2:
                 units.append([(r2.seq, c2)])
                 paired_flags.append(False)
+                mate_len[i, 0] = len(r2.seq)
             else:
                 units.append([])
                 paired_flags.append(False)
@@ -532,7 +542,7 @@ class TPUClassificationPipeline:
                 flat_recs.append(r2)
                 flat_ok.append(p2)
         self._tally_outer(flat_recs, flat_ok)
-        return units, passes, active, paired_flags
+        return units, passes, active, paired_flags, mate_len
 
     def _paired_seeds(self, pairs, passes) -> np.ndarray:
         """Per-pair tie-break seeds, matching the oracle exactly: mate 1's
@@ -583,7 +593,7 @@ class TPUClassificationPipeline:
         return rows
 
     def _finish_paired(self, pairs, prep, fut, seeds=None) -> List[str]:
-        units, passes, active, paired_flags = prep
+        units, passes, active, paired_flags, mate_len = prep
         lane_seqs, lane_map, handle = fut
         if not lane_seqs:
             return self._emit_rows_paired(
@@ -599,20 +609,20 @@ class TPUClassificationPipeline:
                 arrays, lane_map, lane_seqs, units, paired_flags, seeds,
                 self.engine, self.resolver, [r1.name for r1, _ in pairs],
                 qlens, self.metrics, prefetch=prefetch,
-                round_sync=self.sync)
+                round_sync=self.sync, mate_len=mate_len)
             self._tally_flat([p1 or p2 for p1, p2 in passes], qlens,
                              unit_nres, paired_flags=paired_flags)
             return rows
         per_unit, secbest = self.native.process(
             arrays, lane_map, lane_seqs, units, paired_flags, seeds,
             self.engine, self.resolver, self.metrics, prefetch=prefetch,
-            round_sync=self.sync)
+            round_sync=self.sync, mate_len=mate_len)
         return self._emit_rows_paired(pairs, passes, per_unit, secbest)
 
     def classify_batch_paired(self, pairs: Sequence[Tuple[ReadRec, ReadRec]]
                               ) -> List[str]:
         prep = self._prep_paired(pairs)
-        units, passes, active, paired_flags = prep
+        units, passes, active, paired_flags, _mate_len = prep
         if self.native is not None and any(active):
             fut = self._dispatch_units(units, active)
             return self._finish_paired(pairs, prep, fut)

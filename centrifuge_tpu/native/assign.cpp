@@ -502,26 +502,49 @@ void* batch_begin(void* cp,
     for (i64 u = 0; u < n_units; u++)
         for (int m = 0; m < 2; m++)
             b->pristine[u * 2 + m].rdlen = mate_len[u * 2 + m];
-    for (i64 li = 0; li < n_lanes; li++) {
-        i32 u = lane_unit[li], m = lane_mate[li], s = lane_strand[li];
-        MateStates& ms = b->pristine[(i64)u * 2 + m];
-        ms.sums[s] = sums[li];
-        i64 k = nhits[li];
-        if (k > max_hits) k = max_hits;
-        auto& hits = ms.hits[s];
-        hits.reserve(k);
-        for (i64 j = 0; j < k; j++) {
-            i64 base = li * max_hits + j;
-            PartialHit h;
-            i64 t = h_top[base], bo = h_bot[base];
-            h.top = t < 0 ? OFF_MASK : (u64)t;
-            h.bot = bo < 0 ? OFF_MASK : (u64)bo;
-            h.bwoff = (u64)(u32)h_off[base];
-            h.length = (u64)(u32)h_len[base];
-            hits.push_back(h);
+    // lanes are disjoint (unit, mate, strand) slots, so the unpack
+    // threads over lane ranges safely
+    auto unpack = [&](i64 lo, i64 hi) {
+        for (i64 li = lo; li < hi; li++) {
+            i32 u = lane_unit[li], m = lane_mate[li], s = lane_strand[li];
+            MateStates& ms = b->pristine[(i64)u * 2 + m];
+            ms.sums[s] = sums[li];
+            i64 k = nhits[li];
+            if (k > max_hits) k = max_hits;
+            auto& hits = ms.hits[s];
+            hits.reserve(k);
+            for (i64 j = 0; j < k; j++) {
+                i64 base = li * max_hits + j;
+                PartialHit h;
+                i64 t = h_top[base], bo = h_bot[base];
+                h.top = t < 0 ? OFF_MASK : (u64)t;
+                h.bot = bo < 0 ? OFF_MASK : (u64)bo;
+                h.bwoff = (u64)(u32)h_off[base];
+                h.length = (u64)(u32)h_len[base];
+                hits.push_back(h);
+            }
         }
+    };
+    int nt = (int)std::min<i64>(
+        std::max(1u, std::thread::hardware_concurrency()), 8);
+    if (n_lanes < 4096) nt = 1;
+    if (nt == 1) {
+        unpack(0, n_lanes);
+    } else {
+        std::vector<std::thread> ths;
+        i64 chunk = (n_lanes + nt - 1) / nt;
+        for (int t = 0; t < nt; t++) {
+            i64 lo = t * chunk, hi = std::min<i64>(n_lanes, lo + chunk);
+            if (lo >= hi) break;
+            ths.emplace_back(unpack, lo, hi);
+        }
+        for (auto& th : ths) th.join();
     }
-    b->finals = b->pristine;  // filled in-place by the fixpoint
+    // finals need no seed copy: the fixpoint always assigns each used
+    // (unit, mate) slot from a fresh pristine clone before any reader
+    // (resolve_requests / finalize) runs; untouched slots (n_mates==0 or
+    // the absent mate) read as empty either way
+    b->finals.resize(n_units * 2);
     return b;
 }
 

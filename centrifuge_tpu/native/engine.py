@@ -148,7 +148,7 @@ class NativeAssigner:
 
     def process(self, arrays, lane_map, lane_seqs, units, paired_flags,
                 seeds, engine, resolver, metrics=None, prefetch=None,
-                round_sync=None):
+                round_sync=None, mate_len=None):
         """Run the full host assignment for one batch.
 
         arrays: the 6 per-lane search outputs; lane_map: (unit, mate,
@@ -161,7 +161,8 @@ class NativeAssigner:
         and always issues the resolve call so the global device programs
         stay in lockstep.
         """
-        bh = self._begin(arrays, lane_map, units, paired_flags, seeds)
+        bh = self._begin(arrays, lane_map, units, paired_flags, seeds,
+                         mate_len=mate_len)
         n_units = len(units)
         try:
             self._ext_and_resolve(bh, units, engine, resolver, metrics,
@@ -170,7 +171,12 @@ class NativeAssigner:
         finally:
             self.lib.batch_free(bh)
 
-    def _begin(self, arrays, lane_map, units, paired_flags, seeds):
+    def _begin(self, arrays, lane_map, units, paired_flags, seeds,
+               mate_len=None):
+        """mate_len: optional (n_units, 2) int32 of per-mate read lengths;
+        callers that already know them (the pipeline computes qlens for
+        the row formatter anyway) pass it to skip a ~15 ms/32k-lane
+        Python loop over the unit lists."""
         lib = self.lib
         h_top = np.ascontiguousarray(arrays[0], dtype=np.int64)
         h_bot = np.ascontiguousarray(arrays[1], dtype=np.int64)
@@ -192,10 +198,13 @@ class NativeAssigner:
                                    dtype=np.int32)
         n_units = len(units)
         n_mates = np.array([len(u) for u in units], dtype=np.int32)
-        mate_len = np.zeros((n_units, 2), dtype=np.int32)
-        for ui, unit in enumerate(units):
-            for mi, (fw, _) in enumerate(unit):
-                mate_len[ui, mi] = len(fw)
+        if mate_len is None:
+            mate_len = np.zeros((n_units, 2), dtype=np.int32)
+            for ui, unit in enumerate(units):
+                for mi, (fw, _) in enumerate(unit):
+                    mate_len[ui, mi] = len(fw)
+        else:
+            mate_len = np.ascontiguousarray(mate_len, dtype=np.int32)
         paired = np.array([1 if p else 0 for p in paired_flags],
                           dtype=np.uint8)
         seeds = np.ascontiguousarray(seeds, dtype=np.uint32)
@@ -330,7 +339,8 @@ class NativeAssigner:
 
     def process_rows(self, arrays, lane_map, lane_seqs, units, paired_flags,
                      seeds, engine, resolver, names, qlens,
-                     metrics=None, prefetch=None, round_sync=None):
+                     metrics=None, prefetch=None, round_sync=None,
+                     mate_len=None):
         """As process(), but classification, selection, AND default-column
         row formatting all happen natively: returns (rows, unit_nres,
         secbest) where rows is the finished List[str] for the batch.
@@ -344,7 +354,8 @@ class NativeAssigner:
         """
         lib = self.lib
         n_units = len(units)
-        bh = self._begin(arrays, lane_map, units, paired_flags, seeds)
+        bh = self._begin(arrays, lane_map, units, paired_flags, seeds,
+                         mate_len=mate_len)
         try:
             self._ext_and_resolve(bh, units, engine, resolver, metrics,
                                   prefetch, round_sync)

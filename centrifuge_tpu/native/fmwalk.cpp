@@ -88,27 +88,61 @@ inline int32_t try_offset(const WalkCtx& c, int64_t r) {
   return -1;
 }
 
-// one LF step: row -> LF(row, BWT[row]); mirrors fm_jax lf_step_with_char
-inline int64_t lf_step(const WalkCtx& c, int64_t r) {
+// rank_c(row): occurrences of c in bwt[0:row], '$' excluded -- the host
+// twin of fm_jax.rank_in_block, over the same packed block rows. When
+// the row sits in the back half of its block (and a next block exists,
+// i.e. every base of this block is real), count DOWN from the next
+// block's checkpoint instead: occ[blk+1] - count(c in [within, 512)).
+// Halves the average in-block popcount work from 16 words to 8.
+inline int64_t rank_c(const WalkCtx& c, int64_t r, int ch) {
   int64_t blk = r >> 9;
   int within = (int)(r & 511);
   const uint32_t* row = c.blocks + blk * c.row_width;
   const uint32_t* words = row + c.word_off;
-  uint32_t word = words[within >> 4];
-  int ch = (int)((word >> (2 * (within & 15))) & 3u);
+  uint32_t pattern = kCharPattern[ch];
+  int adj = (ch == 0 && c.zoff < r) ? 1 : 0;
+  if (within > 256 && blk + 1 < c.nblk) {
+    const uint32_t* nrow = c.blocks + (blk + 1) * c.row_width;
+    uint64_t nbase;
+    if (c.word_off == 8)
+      nbase = (uint64_t)nrow[ch] | ((uint64_t)nrow[ch + 4] << 32);
+    else
+      nbase = nrow[ch];
+    int64_t cnt = 0;
+    int wi = within >> 4, rem = within & 15;
+    if (rem) {
+      cnt += count_c(words[wi], pattern, 16)
+           - count_c(words[wi], pattern, rem);
+      wi++;
+    }
+    for (int w = wi; w < 32; ++w) cnt += count_c(words[w], pattern, 16);
+    return (int64_t)nbase - cnt - adj;
+  }
   uint64_t base;
   if (c.word_off == 8)
     base = (uint64_t)row[ch] | ((uint64_t)row[ch + 4] << 32);
   else
     base = row[ch];
-  uint32_t pattern = kCharPattern[ch];
   int64_t cnt = 0;
   int full = within >> 4;
   for (int w = 0; w < full; ++w) cnt += count_c(words[w], pattern, 16);
   int rem = within & 15;
   if (rem) cnt += count_c(words[full], pattern, rem);
-  int adj = (ch == 0 && c.zoff < r) ? 1 : 0;
-  return c.fchr[ch] + (int64_t)base + cnt - adj;
+  return (int64_t)base + cnt - adj;
+}
+
+inline int64_t lf_c(const WalkCtx& c, int64_t r, int ch) {
+  return c.fchr[ch] + rank_c(c, r, ch);
+}
+
+// one LF step: row -> LF(row, BWT[row]); mirrors fm_jax lf_step_with_char
+inline int64_t lf_step(const WalkCtx& c, int64_t r) {
+  int64_t blk = r >> 9;
+  int within = (int)(r & 511);
+  const uint32_t* words = c.blocks + blk * c.row_width + c.word_off;
+  uint32_t word = words[within >> 4];
+  int ch = (int)((word >> (2 * (within & 15))) & 3u);
+  return lf_c(c, r, ch);
 }
 
 inline int32_t resolve_one(const WalkCtx& c, int64_t r,
@@ -165,35 +199,6 @@ extern "C" void fm_resolve_rows(
   }
 }
 
-namespace {
-
-// rank_c(row): occurrences of c in bwt[0:row], '$' excluded -- the host
-// twin of fm_jax.rank_in_block, over the same packed block rows.
-inline int64_t rank_c(const WalkCtx& c, int64_t r, int ch) {
-  int64_t blk = r >> 9;
-  int within = (int)(r & 511);
-  const uint32_t* row = c.blocks + blk * c.row_width;
-  const uint32_t* words = row + c.word_off;
-  uint64_t base;
-  if (c.word_off == 8)
-    base = (uint64_t)row[ch] | ((uint64_t)row[ch + 4] << 32);
-  else
-    base = row[ch];
-  uint32_t pattern = kCharPattern[ch];
-  int64_t cnt = 0;
-  int full = within >> 4;
-  for (int w = 0; w < full; ++w) cnt += count_c(words[w], pattern, 16);
-  int rem = within & 15;
-  if (rem) cnt += count_c(words[full], pattern, rem);
-  int adj = (ch == 0 && c.zoff < r) ? 1 : 0;
-  return (int64_t)base + cnt - adj;
-}
-
-inline int64_t lf_c(const WalkCtx& c, int64_t r, int ch) {
-  return c.fchr[ch] + rank_c(c, r, ch);
-}
-
-}  // namespace
 
 // Derive the depth-12 ftab from the depth-10 one by LF-extending every
 // entry with all 16 2-char suffixes (the load-time deepening that kills
