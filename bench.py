@@ -40,7 +40,10 @@ FIXDIR = os.path.join(REPO, "tests", "fixtures", "synth")
 # 16384-read batches (32k lanes): the search step has a ~200 us/step
 # lane-count-independent floor, so doubling the batch is +22% measured
 BATCH = 16384
-N_THROUGHPUT_READS = 3 * BATCH  # full batches only: one jit shape set
+# 6 batches/run: with the 3-deep pipeline, 3 batches spent ~2 stage-times
+# of every run in fill+drain; 6 amortizes that to measure steady state
+# (the extra reads cost <1 s/run at the measured rates)
+N_THROUGHPUT_READS = 6 * BATCH  # full batches only: one jit shape set
 TRIALS = 3
 
 
@@ -104,7 +107,7 @@ def main():
     # ---- phase 2b: paired throughput (half the reference's interface,
     # classifier.h:226,530-535). 8192 pairs/batch = the same 32k-lane
     # kernel shape as phase 2, so no extra search compile. ----
-    n_pairs = 3 * (BATCH // 2)   # 3 batches: fills the 3-deep pipeline
+    n_pairs = 6 * (BATCH // 2)   # 6 batches: steady state past pipeline fill
     pair_prefix = os.path.join("/tmp", f"cftpu_bench_pairs_{n_pairs}")
     if not os.path.exists(pair_prefix + "_1.fq"):
         simulate(os.path.join(FIXDIR, "db.fa"),
