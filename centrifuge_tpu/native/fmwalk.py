@@ -61,7 +61,13 @@ class HostResolver:
         self.blocks = np.ascontiguousarray(host_blocks, np.uint32)
         self.word_off = 8 if wide else 4
         assert host_blocks.shape[1] == self.word_off + 32
-        self.nblk = host_blocks.shape[0]
+        # REAL block count, not the array length: sharded callers pass
+        # fm-axis _pad_to'd rows, and fmwalk.cpp's count-down rank treats
+        # row blk+1 < nblk as a valid occ checkpoint -- a zero pad row
+        # there would yield negative/garbage ranks for every row in the
+        # back half of the last real block (bwt_len % 512 >= 258)
+        self.nblk = min(host_blocks.shape[0],
+                        (int(idx.bwt_len) + 511) // 512)
         self.fchr = np.ascontiguousarray(idx.fchr, np.int64)
         self.offs = np.ascontiguousarray(idx.offs, np.int32)
         self.brows = np.ascontiguousarray(idx.boundary_rows, np.int64)

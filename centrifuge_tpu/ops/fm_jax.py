@@ -198,7 +198,12 @@ class DeviceFMIndex:
         if deep_ftab is None:
             env = os.environ.get("CENTRIFUGE_TPU_DEEP_FTAB")
             if env is not None:
-                deep_ftab = env.lower() not in ("0", "off", "false", "no")
+                # the env toggle overrides the SIZE heuristic only; the
+                # extension itself is structurally depth-10 -> depth-12
+                # (ftab_extend asserts 4^10 entries), so a non-standard
+                # ftab_chars index must still skip it
+                deep_ftab = (env.lower() not in ("0", "off", "false", "no")
+                             and idx.ftab_chars == 10)
             else:
                 # worth it when the expected depth-12 range is still >= ~2
                 # occurrences (random-text model: bwt_len / 4^12): on small

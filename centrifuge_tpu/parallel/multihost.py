@@ -64,6 +64,20 @@ class MultihostSearchEngine(ShardedSearchEngine):
     choices are globally synchronized.
     """
 
+    def pack_transport2(self, seqs, lmax, nlanes):
+        """Globally-synchronized transport mode: the 2-bit packing is
+        only valid when a chunk is N-free, a LOCAL property -- if one
+        process fell back to 4-bit (tmode 1) while another packed 2-bit
+        (tmode 2), the processes would dispatch different jitted
+        executables into one SPMD program (shape mismatch -> hang). Any
+        process needing the fallback forces it everywhere."""
+        rseqp, lengths, tmode = super().pack_transport2(seqs, lmax, nlanes)
+        g_tmode = -sync_max(-tmode)   # global min
+        if g_tmode != tmode:
+            rseqp, lengths = self.pack_transport(seqs, lmax, nlanes)
+            tmode = g_tmode
+        return rseqp, lengths, tmode
+
     def __init__(self, sh: ShardedFMArrays, mesh, min_hitlen: int = 22):
         super().__init__(sh, mesh, min_hitlen)
         import jax

@@ -289,11 +289,24 @@ def _device_arrays(mesh: Mesh, sh: ShardedFMArrays):
     # device index, which is correct in BOTH single- and multi-process
     # meshes (device_put with a global sharding mis-places shards when
     # the mesh spans processes)
+    #
+    # Cached per (sh, mesh): the search-step factory and the resolver
+    # factory both need these; uploading twice would double the HBM
+    # footprint of the multi-GB unified table. After the upload the
+    # host-side ufm copy is dropped (blocks stays: HostResolver walks
+    # it) -- a second mesh over one ShardedFMArrays must rebuild it.
+    cached = getattr(sh, "_dev_cache", None)
+    if cached is not None and cached[0] is mesh:
+        return cached[1]
+    if sh.ufm is None:
+        raise RuntimeError(
+            "ShardedFMArrays host ufm was released after its first device "
+            "upload; build a fresh ShardedFMArrays for a new mesh")
     def put(arr, *spec):
         shd = NamedSharding(mesh, P(*spec))
         return jax.make_array_from_callback(arr.shape, shd,
                                             lambda i: arr[i])
-    return (
+    dev = (
         # the unified table: each fm shard's slice is [its block rows |
         # its packed ftab rows]; block indexes < nblk_per stay valid, so
         # every kernel (rank walks included) reads the same array
@@ -304,6 +317,9 @@ def _device_arrays(mesh: Mesh, sh: ShardedFMArrays):
         put(sh.boundary_rows),
         put(sh.boundary_refs),
     )
+    sh._dev_cache = (mesh, dev)
+    sh.ufm = None
+    return dev
 
 
 def _sharded_try_offset(sh: ShardedFMArrays, offs_l, brows, brefs, zoff):
@@ -480,12 +496,6 @@ class ShardedSearchEngine:
     _compact_ok = _B._compact_ok
     _segments = _B._segments
     del _B
-
-    def _dims(self, seqs):
-        lmax = _bucket(max((len(s) for s in seqs), default=1),
-                       lo=self.lmax_lo)
-        nlanes = _bucket(len(seqs), lo=max(self.lane_bucket_lo, self.n_dp))
-        return lmax, nlanes
 
     def _unpack(self, packed: np.ndarray, nlanes: int, mh: int,
                 compact: int):

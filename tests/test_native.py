@@ -147,6 +147,52 @@ def test_host_resolver_matches_device(synth_index, wide):
     np.testing.assert_array_equal(want, got)
 
 
+def test_host_resolver_ignores_padded_block_rows(tmp_path):
+    """Sharded callers hand HostResolver fm-axis _pad_to'd block rows
+    (parallel/sharded.py ShardedFMArrays.build); fmwalk.cpp's count-down
+    rank must not treat a zero pad row as the next occ checkpoint. Needs
+    an index with bwt_len % 512 >= 258 (rows in the back half of a
+    partial last block) -- the synth fixture has bwt_len % 512 == 1 and
+    cannot catch this."""
+    import os
+    from centrifuge_tpu.build.builder import build_index
+    from centrifuge_tpu.index.cf_io import load_cf_index
+    from centrifuge_tpu.native.fmwalk import HostResolver
+    from centrifuge_tpu.ops.fm_jax import pack_bwt_blocks
+    from centrifuge_tpu.parallel.sharded import _pad_to
+
+    rng = np.random.default_rng(11)
+    # several sequences: with one sequence every row resolves to tidx 0
+    # and a corrupted walk is invisible
+    nseq, seqlen = 8, 293
+    fa = tmp_path / "t.fa"
+    fa.write_text("".join(
+        f">t{i}\n" + "".join(rng.choice(list("ACGT"), seqlen)) + "\n"
+        for i in range(nseq)))
+    (tmp_path / "conv.dmp").write_text("".join(
+        f"t{i}\t{1000+i}\n" for i in range(nseq)))
+    (tmp_path / "nodes.dmp").write_text(
+        "1\t|\t1\t|\tno rank\t|\n" + "".join(
+            f"{1000+i}\t|\t1\t|\tspecies\t|\n" for i in range(nseq)))
+    (tmp_path / "names.dmp").write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n" + "".join(
+            f"{1000+i}\t|\tT{i}\t|\t\t|\tscientific name\t|\n"
+            for i in range(nseq)))
+    base = str(tmp_path / "idx")
+    build_index([str(fa)], base, str(tmp_path / "conv.dmp"),
+                str(tmp_path / "nodes.dmp"), str(tmp_path / "names.dmp"))
+    idx = load_cf_index(base)
+    assert idx.bwt_len % 512 >= 258, idx.bwt_len
+
+    rows_np = pack_bwt_blocks(idx.bwt, False)
+    padded = _pad_to(rows_np, 8)
+    assert padded.shape[0] > rows_np.shape[0]
+    plain = HostResolver(rows_np, idx, False)
+    shard = HostResolver(padded, idx, False)
+    rows = np.arange(idx.bwt_len, dtype=np.int64)
+    np.testing.assert_array_equal(plain(rows), shard(rows))
+
+
 def test_host_resolve_pipeline_matches_presolve(synth_index, synth_reads):
     """Full native pipeline with host_resolve on vs off: identical rows."""
     from centrifuge_tpu.classify.pipeline import PipelineConfig
