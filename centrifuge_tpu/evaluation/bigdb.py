@@ -156,11 +156,15 @@ def ensure_pcdb(workdir: str, verbose: bool = False,
         # 4.66 B/base at 12 Gbp before the round-4 gather/copy fixes
         build_index([fa], base, conv, nodes, names, verbose=verbose,
                     blockwise=True, bmax=n_total // 16)
-        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+        # NOTE: the blockwise builder resets the kernel RSS watermark per
+        # phase (blockwise._reset_rss_hwm also clears what ru_maxrss
+        # reads), so a watermark read here reflects only the tail of the
+        # build, NOT its peak. The authoritative per-phase peaks are the
+        # [build-rss] lines the builder prints; the build peak is their
+        # max (measured 2.97 B/base in the sort+emit phase at 12 Gbp).
         if verbose:
-            print(f"built in {_t.time()-t0:.0f}s; peak RSS "
-                  f"{rss/2**30:.1f} GiB = {rss/n_total:.2f} B/base",
-                  flush=True)
+            print(f"built in {_t.time()-t0:.0f}s (peak RSS: see the "
+                  f"per-phase [build-rss] lines above)", flush=True)
 
     if not os.path.exists(reads):
         if verbose:
