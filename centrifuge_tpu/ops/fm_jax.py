@@ -212,15 +212,24 @@ class DeviceFMIndex:
                 deep_ftab = (idx.ftab_chars == 10
                              and idx.bwt_len >= (1 << 25))
         ftab12 = None
+        dev12 = False
         if deep_ftab:
-            # ftab_extend returns None itself when the native library is
-            # absent; only an import/ctypes wiring failure lands here
-            try:
-                from ..native.fmwalk import ftab_extend
-            except ImportError:
-                ftab12 = None
-            else:
-                ftab12 = ftab_extend(rows, idx, wide)
+            # Default: compute the depth-12 table ON DEVICE after the
+            # unified-table upload (_ftab12_rows_graph) -- the 33.5M load
+            # -time rank queries were the dominant index-load cost at 12
+            # Gbp on the host. CENTRIFUGE_TPU_DEEP_FTAB_DEVICE=0 selects
+            # the native host path (kept as the parity oracle).
+            denv = os.environ.get("CENTRIFUGE_TPU_DEEP_FTAB_DEVICE", "1")
+            dev12 = denv.lower() not in ("0", "off", "false", "no")
+            if not dev12:
+                # ftab_extend returns None itself when the native library
+                # is absent; only an import failure lands here
+                try:
+                    from ..native.fmwalk import ftab_extend
+                except ImportError:
+                    ftab12 = None
+                else:
+                    ftab12 = ftab_extend(rows, idx, wide)
 
         put = functools.partial(jax.device_put, device=device)
         it = np.int64 if wide else np.int32
@@ -232,19 +241,33 @@ class DeviceFMIndex:
         frows = pack_ftab_rows(idx.ftab_top, idx.ftab_bot, wide, width)
         parts = [rows, frows]
         nblk12 = 0
-        if ftab12 is not None:
+        if ftab12 is not None or dev12:
             nblk12 = rows.shape[0] + frows.shape[0]
-            parts.append(pack_ftab_rows(ftab12[0], ftab12[1], wide, width))
+            if ftab12 is not None:
+                parts.append(pack_ftab_rows(ftab12[0], ftab12[1], wide,
+                                            width))
+            else:
+                # zero placeholder; filled in-place on device below
+                parts.append(np.zeros(((1 << 24) // (8 if wide else 16),
+                                       width), dtype=np.uint32))
         ufm = np.concatenate(parts, axis=0)
 
         # one device allocation serves both: row-indexed kernels only ever
         # touch rows < nblk, so `blocks` can alias the unified table
         ufm_dev = put(ufm)
+        fchr_dev = put(idx.fchr.astype(it))
+        if dev12:
+            n10 = 1 << 20
+            t0 = put(np.ascontiguousarray(idx.ftab_top[:n10], dtype=it))
+            b0 = put(np.ascontiguousarray(idx.ftab_bot[:n10], dtype=it))
+            fr12 = _ftab12_rows_graph(ufm_dev, fchr_dev, int(idx.zoff),
+                                      t0, b0)
+            ufm_dev = _ufm_write_rows(ufm_dev, fr12, int(nblk12))
         return DeviceFMIndex(
             blocks=ufm_dev,
             ufm=ufm_dev,
             nblk=int(rows.shape[0]),
-            fchr=put(idx.fchr.astype(it)),
+            fchr=fchr_dev,
             ftab_top=put(idx.ftab_top.astype(it)),
             ftab_bot=put(idx.ftab_bot.astype(it)),
             ftab_tb=put(ftab_tb),
@@ -427,6 +450,67 @@ def fused_step_lookup1(ufm: jax.Array, nblk: int, fchr: jax.Array, zoff,
     topchar = ((word.astype(jnp.uint32)
                 >> (2 * (top & 15).astype(jnp.uint32))) & 3).astype(jnp.int32)
     return ftop, fbot, base + r_t, base + r_b, topchar, in_reach
+
+
+@jax.jit
+def _ftab12_rows_graph(ufm: jax.Array, fchr: jax.Array, zoff,
+                       t0: jax.Array, b0: jax.Array) -> jax.Array:
+    """Depth-12 ftab packed rows computed ON DEVICE: the batched twin of
+    native/fmwalk.cpp fm_ftab_extend (two guarded LF extensions per
+    depth-10 entry x 16 two-char suffixes), emitting the same block-row
+    layout as pack_ftab_rows. 33.5M rank queries become five batched
+    2^22-lane LF blocks -- sub-second on the TPU vs minutes of host rank
+    walking at 12 Gbp, and the 268 MB table never rides the tunnel.
+
+    Guard semantics mirror the C++ exactly (fmwalk.cpp:226-246): an
+    empty parent range writes (0, 0) at level 1, and level 2 writes the
+    LF pair only when its level-1 parent is non-empty (the result may
+    itself be empty -- stored as-is, same as the host path).
+    """
+    word_off = _layout_word_off(ufm)
+    wide = word_off == 8
+    width = ufm.shape[1]
+    n10 = t0.shape[0]
+    # level-1 index layout: idx1 = e10 | (c10 << 20) == c10 * n10 + e10
+    t = jnp.tile(t0, 4)
+    b = jnp.tile(b0, 4)
+    chars1 = jnp.repeat(jnp.arange(4, dtype=jnp.int32), n10)
+    zero = jnp.zeros((), t.dtype)
+    ok0 = b > t
+    t1 = jnp.where(ok0, lf_kernel(ufm, fchr, zoff, t, chars1), zero)
+    b1 = jnp.where(ok0, lf_kernel(ufm, fchr, zoff, b, chars1), zero)
+    ok1 = b1 > t1
+    outs_t, outs_b = [], []
+    for c11 in range(4):            # idx = e10 | c10<<20 | c11<<22
+        ch = jnp.full_like(chars1, c11)
+        outs_t.append(jnp.where(ok1, lf_kernel(ufm, fchr, zoff, t1, ch),
+                                zero))
+        outs_b.append(jnp.where(ok1, lf_kernel(ufm, fchr, zoff, b1, ch),
+                                zero))
+    t12 = jnp.concatenate(outs_t)
+    b12 = jnp.concatenate(outs_b)
+    if wide:                        # pack_ftab_rows layout, on device
+        tu = t12.astype(jnp.uint64)
+        bu = b12.astype(jnp.uint64)
+        quads = jnp.stack([
+            (tu & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+            (tu >> 32).astype(jnp.uint32),
+            (bu & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+            (bu >> 32).astype(jnp.uint32)], axis=1)
+        fr = quads.reshape(-1, 32)
+    else:
+        pairs = jnp.stack([t12.astype(jnp.uint32),
+                           b12.astype(jnp.uint32)], axis=1)
+        fr = pairs.reshape(-1, 32)
+    return jnp.pad(fr, ((0, 0), (0, width - fr.shape[1])))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+def _ufm_write_rows(ufm: jax.Array, fr: jax.Array, row_off: int):
+    """Write the device-computed ftab12 rows into their (zero-filled)
+    region of the unified table; donation makes it in-place so the
+    4 GB-scale table is never doubled in HBM."""
+    return jax.lax.dynamic_update_slice(ufm, fr, (row_off, 0))
 
 
 def rank_kernel(blocks: jax.Array, zoff, rows: jax.Array,

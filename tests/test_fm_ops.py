@@ -382,3 +382,29 @@ def test_deep_ftab_prime_byte_parity():
     golden = open(os.path.join(fixture_path("synth"),
                                "golden_output.tsv")).read().splitlines()
     assert rows_deep == golden[1: len(rows_deep) + 1]
+
+
+def test_ftab12_device_matches_native_host():
+    """The device-computed depth-12 ftab region (_ftab12_rows_graph,
+    the default) must be bit-identical to the native host oracle
+    (fmwalk.cpp fm_ftab_extend) -- same guarded-LF semantics, same
+    packed block-row layout, both directions of the
+    CENTRIFUGE_TPU_DEEP_FTAB_DEVICE toggle."""
+    import numpy as np
+    from conftest import fixture_path
+    from centrifuge_tpu.index.cf_io import load_cf_index
+    from centrifuge_tpu.native.fmwalk import ftab_extend
+    from centrifuge_tpu.ops.fm_jax import (DeviceFMIndex, pack_bwt_blocks,
+                                           pack_ftab_rows)
+
+    idx = load_cf_index(fixture_path("synth", "synth"))
+    dfm = DeviceFMIndex.build(idx, deep_ftab=True)   # device path default
+    assert dfm.nblk12 > 0
+    ufm = np.asarray(dfm.ufm)
+    got = ufm[dfm.nblk12:]
+
+    rows = pack_bwt_blocks(idx.bwt, wide=False)
+    ft12 = ftab_extend(rows, idx, wide=False)
+    assert ft12 is not None, "native library must be present for the oracle"
+    want = pack_ftab_rows(ft12[0], ft12[1], False, ufm.shape[1])
+    np.testing.assert_array_equal(got, want)
