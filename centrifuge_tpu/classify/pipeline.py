@@ -14,6 +14,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..index.cf_io import CFIndex
+from ..index.taxonomy import rank_string
 from ..io.fastx import ReadRec
 from ..utils.rng import LCG, gen_read_seed
 from .algo import AlnResult, Classifier, ClassifierConfig, select_results
@@ -53,7 +54,9 @@ class SpeciesMetrics:
 
     def add(self, tax_id: int, score: int, max_score: int,
             summed_hit_len: float, nresult: int) -> None:
-        sc = self.species_counts.setdefault(tax_id, [0, 0, 0.0, 0.0, 0])
+        sc = self.species_counts.get(tax_id)
+        if sc is None:   # .get avoids setdefault's per-call default list
+            sc = self.species_counts[tax_id] = [0, 0, 0.0, 0.0, 0]
         sc[0] += 1
         sc[1] += 1  # the reference adds 1, not the score (aln_sink.h:151)
         sc[3] += 1.0 / nresult
@@ -251,6 +254,7 @@ class ResultFormatter:
         self.idx = idx
         self.cfg = cfg
         self.tree = idx.taxonomy.tree
+        self._tid_memo: Dict[int, Tuple[bool, str]] = {}
 
     def header(self) -> str:
         return "\t".join(self.cfg.columns)
@@ -261,7 +265,6 @@ class ResultFormatter:
                       unclassified: bool,
                       reads: Optional[Tuple] = None) -> List[str]:
         """reads: optional (rec1, rec2-or-None) for SEQ/QUAL columns."""
-        from ..index.taxonomy import rank_string
         if (self.cfg.columns == DEFAULT_COLUMNS and not self.cfg.count_kmers
                 and (unclassified or not results)):
             # hot unclassified fast path
@@ -274,12 +277,18 @@ class ResultFormatter:
             rid = format_read_id(name)
             nres = len(results)
             rows = []
+            memo = self._tid_memo
             for r in results:
-                node = self.tree.get(r.tax_id)
-                leaf = node.leaf if node is not None else True
-                seq_id = r.uid if leaf else rank_string(r.tax_rank)
                 tid = r.tax_id
-                tid_s = str(tid) if tid < 0x100000000 else format_tax_id(tid)
+                info = memo.get(tid)
+                if info is None:
+                    node = self.tree.get(tid)
+                    leaf = node.leaf if node is not None else True
+                    tid_s = str(tid) if tid < 0x100000000 \
+                        else format_tax_id(tid)
+                    info = memo[tid] = (leaf, tid_s)
+                leaf, tid_s = info
+                seq_id = r.uid if leaf else rank_string(r.tax_rank)
                 rows.append(
                     f"{rid}\t{seq_id}\t{tid_s}\t{r.score}\t{secbest}\t"
                     f"{int(r.summed_len)}\t{qlen}\t{nres}")

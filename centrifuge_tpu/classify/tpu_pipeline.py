@@ -29,7 +29,8 @@ from .algo import (OFF_MASK, Classifier, PartialHit, StrandState,
 from .engine import BatchSearchEngine
 from .pipeline import (DEFAULT_COLUMNS, PipelineConfig, ResultFormatter,
                        SpeciesMetrics, batch_flat_seqs, batch_read_passes,
-                       batch_revcomp, n_filter, read_passes)
+                       batch_revcomp, format_read_id, n_filter,
+                       read_passes)
 
 
 def _states_from_arrays(h_top, h_bot, h_off, h_len, nhits, sums, lane,
@@ -272,7 +273,6 @@ class TPUClassificationPipeline:
                 rec.name, len(rec.seq), chosen, secbest, self.spm,
                 unclassified=not chosen, reads=(rec,)))
             if self.met_read is not None:
-                from .pipeline import format_read_id
                 self.met_read.emit(format_read_id(rec.name), len(rec.seq),
                                    not ok, len(chosen))
         m.batches += 1
@@ -471,7 +471,6 @@ class TPUClassificationPipeline:
                 rec.name, len(rec.seq), chosen, sb, self.spm,
                 unclassified=not chosen, reads=(rec,)))
             if self.met_read is not None:
-                from .pipeline import format_read_id
                 self.met_read.emit(format_read_id(rec.name), len(rec.seq),
                                    not ok, len(chosen))
         m.batches += 1
@@ -586,7 +585,6 @@ class TPUClassificationPipeline:
                 r1.name, qlen, chosen, sb, self.spm,
                 unclassified=not chosen, reads=(r1, r2)))
             if self.met_read is not None:
-                from .pipeline import format_read_id
                 self.met_read.emit(format_read_id(r1.name), qlen,
                                    not (p1 or p2), len(chosen))
         m.batches += 1
