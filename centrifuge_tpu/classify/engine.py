@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 from dataclasses import dataclass
 from typing import Callable, List, Tuple
 
@@ -1064,6 +1065,13 @@ class BatchSearchEngine:
         # cumulative transfer/extension counters (PerfMetrics surface)
         self.stats = {"upload_bytes": 0, "download_bytes": 0,
                       "ext_searches": 0, "ext_lanes": 0}
+        # serializes ALL jax interactions when the pipeline's tail-thread
+        # overlap is on: the axon tunnel deadlocks under *concurrent*
+        # jax calls from two threads, but strictly serialized cross-
+        # thread calls are safe. Main thread holds it for dispatch/
+        # collect; the tail worker takes it for the (rare) extension
+        # searches. RLock: search_collect's overflow re-run nests _run.
+        self.dev_lock = threading.RLock()
         # tables above this block count get the two-phase resolve walk
         # (lockstep tail is HBM-latency-bound on multi-GB tables)
         self.presolve_phase1_nblk = 1 << 16
@@ -1204,16 +1212,17 @@ class BatchSearchEngine:
         compact = self._compact_ok(plen, max_hits,
                                    pool=pool and nlanes >= self.pool_min_lanes)
         self.stats["upload_bytes"] += rseqp.nbytes + lengths.nbytes
-        packed = np.asarray(batched_search_packed(
-            self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
-            jnp.asarray(self.fm.zoff, self.fm.row_dtype),
-            jnp.asarray(rseqp), jnp.asarray(lengths),
-            jnp.asarray(start), min_hitlen=self.min_hitlen,
-            increment=self.increment, max_hits=max_hits,
-            first_hit_only=first_hit_only,
-            nblk=self.fm.nblk if self.one_row else None,
-            compact=compact, packed_input=tmode,
-            nblk12=(self.fm.nblk12 or None) if self.one_row else None))
+        with self.dev_lock:
+            packed = np.asarray(batched_search_packed(
+                self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
+                jnp.asarray(self.fm.zoff, self.fm.row_dtype),
+                jnp.asarray(rseqp), jnp.asarray(lengths),
+                jnp.asarray(start), min_hitlen=self.min_hitlen,
+                increment=self.increment, max_hits=max_hits,
+                first_hit_only=first_hit_only,
+                nblk=self.fm.nblk if self.one_row else None,
+                compact=compact, packed_input=tmode,
+                nblk12=(self.fm.nblk12 or None) if self.one_row else None))
         self.stats["download_bytes"] += packed.nbytes
         if compact in (3, 4, 5, 6):
             return _unpack_pool_outputs(
@@ -1239,6 +1248,14 @@ class BatchSearchEngine:
         start = np.zeros(nlanes, dtype=np.int32)
         mh = min(self.FIRST_MAX_HITS, lmax)
         segs = self._segments(nlanes, maxlen)
+        with self.dev_lock:
+            return self._search_async_locked(
+                rseqp, lengths, start, mh, lmax, nlanes, maxlen, segs,
+                presolve, khits, ihits, tmode)
+
+    def _search_async_locked(self, rseqp, lengths, start, mh, lmax,
+                             nlanes, maxlen, segs, presolve, khits,
+                             ihits, tmode):
         common = (self.fm.blocks, self.fm.fchr, self.fm.ftab_tb,
                   jnp.asarray(self.fm.zoff, self.fm.row_dtype))
         compact = self._compact_ok(lmax + self.fm.ftab_chars, mh)
@@ -1291,12 +1308,15 @@ class BatchSearchEngine:
         presolve=True, else None."""
         (packed, rseqp, lengths, mh, lmax, nlanes, compact, pre,
          tmode) = handle
+        with self.dev_lock:
+            packed = np.asarray(packed)
+            pre = None if pre is None else [np.asarray(a) for a in pre]
         if compact in (3, 4, 5, 6):
             out = _unpack_pool_outputs(
-                np.asarray(packed), nlanes, mh,
+                packed, nlanes, mh,
                 POOL_SLOTS_PER_LANE * nlanes, mode=compact)
         else:
-            out = _unpack_search_outputs(np.asarray(packed), mh, compact)
+            out = _unpack_search_outputs(packed, mh, compact)
         out = self._handle_overflow(out, rseqp, lengths, mh, lmax,
                                     nlanes, tmode)
         out = [a[:L] for a in out]

@@ -125,10 +125,14 @@ class PipelineConfig:
     # Auto-disabled when the extension cannot build or on sharded/
     # multi-host paths (their resolver keeps SPMD processes in sync).
     host_resolve: bool = True
-    # overlap device round-trip waits with host compute via a 2-worker
-    # thread stage; OFF by default because the axon dev tunnel's
-    # compile/execute path is not thread-safe (deadlocks observed)
-    threaded_stream: bool = False
+    # tail-thread overlap: the main thread keeps ALL dispatch/collect
+    # jax calls; one worker thread runs the device-free host tail
+    # (assignment, resolve, row formatting), its rare extension
+    # searches serialized through engine.dev_lock. Byte-identical
+    # output (tails run FIFO). The earlier 2-worker design deadlocked
+    # the axon tunnel under *concurrent* jax calls; this one never
+    # issues two at once.
+    threaded_stream: bool = True
 
 
 def n_filter(seq: np.ndarray, n_ceil_const: float, n_ceil_coef: float) -> bool:

@@ -297,11 +297,9 @@ class TPUClassificationPipeline:
         overlap another's host compute (jax fetches and the ctypes calls
         release the GIL). Output order and the shared metrics/species
         state stay serialized on the caller's thread."""
-        if self.native is not None and self.cfg.threaded_stream:
-            # NOTE: deadlocks on the axon TPU tunnel (its compile/execute
-            # path is not thread-safe); works on CPU and is expected to
-            # work on directly-attached TPU hosts. Off by default.
-            yield from self._classify_stream_threaded(batches)
+        if (self.native is not None and self.cfg.threaded_stream
+                and getattr(self.engine, "dev_lock", None) is not None):
+            yield from self._stream_overlap(batches, paired=False)
             return
         from collections import deque
         pending = deque()  # (recs, passes, units, device_future, seeds)
@@ -322,47 +320,54 @@ class TPUClassificationPipeline:
         while pending:
             yield self._finish_batch(*pending.popleft())
 
-    def _classify_stream_threaded(self, batches) -> "Iterator[List[str]]":
+    def _stream_overlap(self, batches, paired) -> "Iterator[List[str]]":
+        """Tail-thread overlap: ALL jax interactions stay serialized (the
+        main thread dispatches and collects; the one worker thread runs
+        the device-free host tail, and its rare extension searches take
+        engine.dev_lock) -- the axon tunnel deadlocks under *concurrent*
+        cross-thread jax calls, but not under serialized ones. Steady
+        state per batch ~= max(device compute + transfer, host tail)
+        instead of their sum. Tails run FIFO on one worker, so the
+        native spm accumulation order (byte parity) is unchanged."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        def work(recs, units, passes, fut):
-            lane_seqs, lane_map, handle = fut
-            if not lane_seqs:
-                return None
-            arrays, prefetch = self.engine.search_collect(
-                handle, len(lane_seqs))
-            seeds = gen_read_seeds_batch(recs, self.cfg.seed)
-            return self.native.process(
-                arrays, lane_map, lane_seqs, units,
-                [False] * len(units), seeds, self.engine, self.resolver,
-                self.metrics, prefetch=prefetch, round_sync=self.sync)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            pending = deque()   # dispatched, not yet collected
+            tails = deque()     # host-tail futures, FIFO
 
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            q = deque()
+            def drain_one():
+                item = pending.popleft()
+                fut = item[-2]
+                lane_seqs, _lm, handle = fut
+                collected = self._collect(handle, len(lane_seqs)) \
+                    if lane_seqs else None
+                fin = self._finish_paired if paired else self._finish_batch
+                tails.append(ex.submit(fin, *item, collected))
 
-            def finish(item):
-                recs, passes, fut_res = item
-                res = fut_res.result()
-                if res is None:
-                    return self._emit_rows_preselected(
-                        recs, passes, [[] for _ in recs], [0] * len(recs))
-                per_unit, secbest = res
-                return self._emit_rows_preselected(recs, passes, per_unit,
-                                                   secbest)
-
-            for recs in batches:
-                flat3 = batch_flat_seqs(recs)
-                units = self._prep_unpaired(recs, flat3=flat3)
-                passes = batch_read_passes(recs, self.cfg, flat3=flat3)
-                self._tally_outer(recs, passes)
-                fut = self._dispatch_units(units, passes)
-                q.append((recs, passes,
-                          ex.submit(work, recs, units, passes, fut)))
-                while len(q) > 2:
-                    yield finish(q.popleft())
-            while q:
-                yield finish(q.popleft())
+            for b in batches:
+                if paired:
+                    prep = self._prep_paired(b)
+                    fut = self._dispatch_units(prep[0], prep[2])
+                    seeds = self._paired_seeds(b, prep[1])
+                    pending.append((b, prep, fut, seeds))
+                else:
+                    flat3 = batch_flat_seqs(b)
+                    units = self._prep_unpaired(b, flat3=flat3)
+                    passes = batch_read_passes(b, self.cfg, flat3=flat3)
+                    self._tally_outer(b, passes)
+                    fut = self._dispatch_units(units, passes)
+                    seeds = gen_read_seeds_batch(b, self.cfg.seed,
+                                                 flat3=flat3)
+                    pending.append((b, passes, units, fut, seeds))
+                if len(pending) > 2:
+                    drain_one()
+                while len(tails) > 1:
+                    yield tails.popleft().result()
+            while pending:
+                drain_one()
+            while tails:
+                yield tails.popleft().result()
 
     def _dispatch_units(self, units, active):
         """Launch the device search for a batch; returns an opaque handle.
@@ -415,10 +420,11 @@ class TPUClassificationPipeline:
         return lane_seqs, lane_map, handle
 
     def _finish_batch(self, recs, passes, units, fut,
-                      seeds=None) -> List[str]:
+                      seeds=None, collected=None) -> List[str]:
         lane_seqs, lane_map, handle = fut
         if self.native is not None and lane_seqs:
-            arrays, prefetch = self._collect(handle, len(lane_seqs))
+            arrays, prefetch = collected if collected is not None \
+                else self._collect(handle, len(lane_seqs))
             if seeds is None:
                 seeds = gen_read_seeds_batch(recs, self.cfg.seed)
             if self._flat_eligible():
@@ -482,6 +488,10 @@ class TPUClassificationPipeline:
         if self.native is None:
             for pairs in batches:
                 yield self.classify_batch_paired(pairs)
+            return
+        if (self.cfg.threaded_stream
+                and getattr(self.engine, "dev_lock", None) is not None):
+            yield from self._stream_overlap(batches, paired=True)
             return
         from collections import deque
         pending = deque()
@@ -590,13 +600,15 @@ class TPUClassificationPipeline:
         m.batches += 1
         return rows
 
-    def _finish_paired(self, pairs, prep, fut, seeds=None) -> List[str]:
+    def _finish_paired(self, pairs, prep, fut, seeds=None,
+                       collected=None) -> List[str]:
         units, passes, active, paired_flags, mate_len = prep
         lane_seqs, lane_map, handle = fut
         if not lane_seqs:
             return self._emit_rows_paired(
                 pairs, passes, [[] for _ in pairs], [0] * len(pairs))
-        arrays, prefetch = self._collect(handle, len(lane_seqs))
+        arrays, prefetch = collected if collected is not None \
+            else self._collect(handle, len(lane_seqs))
         if seeds is None:
             seeds = self._paired_seeds(pairs, passes)
         if self._flat_eligible():

@@ -277,12 +277,16 @@ class NativeAssigner:
                     metrics.resolve_miss_rows += mrows.shape[0]
                 if getattr(resolver, "needs_bucket", True):
                     # device resolver: pad to a jit shape bucket so the
-                    # tunnel reuses one compiled program
+                    # tunnel reuses one compiled program; serialized
+                    # against other threads' jax calls (tail overlap)
                     from ..classify.engine import _bucket
+                    import contextlib
                     padded = np.zeros(_bucket(mrows.shape[0]), rdt)
                     padded[: mrows.shape[0]] = mrows
-                    values[miss] = np.asarray(
-                        resolver(padded))[: mrows.shape[0]]
+                    with getattr(engine, "dev_lock", None) \
+                            or contextlib.nullcontext():
+                        values[miss] = np.asarray(
+                            resolver(padded))[: mrows.shape[0]]
                 else:
                     # host walk: no shape constraint; padded zero-rows
                     # would each cost a full wasted walk

@@ -84,9 +84,10 @@ def test_synth_paired(synth_index, tmp_path):
 
 
 def test_threaded_stream_parity(synth_index):
-    """threaded_stream=True (2-worker overlap stage) produces identical
-    rows to the default stream on CPU; it stays off by default because
-    the axon tunnel's compile path is not thread-safe (CLAUDE.md)."""
+    """threaded_stream=True (tail-thread overlap, the default) produces
+    identical rows AND identical species-metrics state to the
+    single-threaded stream: tails run FIFO on one worker, so the native
+    spm accumulation order is unchanged."""
     from centrifuge_tpu.classify.pipeline import PipelineConfig
     from centrifuge_tpu.classify.tpu_pipeline import TPUClassificationPipeline
     from centrifuge_tpu.io.fastx import read_batch
@@ -95,7 +96,8 @@ def test_threaded_stream_parity(synth_index):
     reads = read_batch([fixture_path("synth", "reads.fq")], limit=512)
     batches = [reads[i: i + 128] for i in range(0, len(reads), 128)]
 
-    base = TPUClassificationPipeline(synth_index)
+    base = TPUClassificationPipeline(
+        synth_index, PipelineConfig(threaded_stream=False))
     want = [r for chunk in base.classify_stream_unpaired(iter(batches))
             for r in chunk]
 
@@ -105,3 +107,32 @@ def test_threaded_stream_parity(synth_index):
     got = [r for chunk in pipe.classify_stream_unpaired(iter(batches))
            for r in chunk]
     assert got == want
+    assert pipe.spm.species_counts == base.spm.species_counts
+    assert pipe.spm.observed == base.spm.observed
+
+
+def test_threaded_stream_parity_paired(synth_index):
+    """Paired tail-thread overlap matches the single-threaded paired
+    stream byte for byte."""
+    from centrifuge_tpu.classify.pipeline import PipelineConfig
+    from centrifuge_tpu.classify.tpu_pipeline import TPUClassificationPipeline
+    from centrifuge_tpu.io.fastx import read_batch
+    from conftest import fixture_path
+
+    m1 = read_batch([fixture_path("synth", "reads_1.fq")], limit=384)
+    m2 = read_batch([fixture_path("synth", "reads_2.fq")], limit=384)
+    pairs = list(zip(m1, m2))
+    batches = [pairs[i: i + 96] for i in range(0, len(pairs), 96)]
+
+    base = TPUClassificationPipeline(
+        synth_index, PipelineConfig(threaded_stream=False))
+    want = [r for chunk in base.classify_stream_paired(iter(batches))
+            for r in chunk]
+
+    pipe = TPUClassificationPipeline(
+        synth_index, PipelineConfig(threaded_stream=True))
+    assert pipe.native is not None
+    got = [r for chunk in pipe.classify_stream_paired(iter(batches))
+           for r in chunk]
+    assert got == want
+    assert pipe.spm.species_counts == base.spm.species_counts
