@@ -62,6 +62,9 @@ def main():
     from centrifuge_tpu.evaluation.simulate import SimConfig, simulate
     from centrifuge_tpu.index.cf_io import load_cf_index
     from centrifuge_tpu.io.fastx import read_batch
+    from centrifuge_tpu.native.fmwalk import _load as _fmwalk_load
+    from centrifuge_tpu.native.pack import _load as _pack_load
+    from centrifuge_tpu.utils.fallback import fallbacks as native_fallbacks
 
     idx = load_cf_index(os.path.join(FIXDIR, "synth"))
 
@@ -171,6 +174,15 @@ def main():
         "paired_runs": [round(r, 1) for r in pruns],
         "parity_ok": parity_ok,
         "native_engine": pipe.native is not None,
+        # all three hot-path native extensions must be live; a broken
+        # toolchain silently costing 2-10x must show up here (each
+        # loader also prints a one-line stderr warning on fallback)
+        "native_pack": _pack_load() is not None,
+        "native_fmwalk": _fmwalk_load() is not None,
+        "native_ok": (pipe.native is not None
+                      and _pack_load() is not None
+                      and _fmwalk_load() is not None),
+        "native_fallbacks": native_fallbacks(),
     }))
 
 

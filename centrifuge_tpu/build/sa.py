@@ -33,7 +33,9 @@ def _load_native():
             ctypes.POINTER(ctypes.c_int64)]
         lib.build_sa_2bit.restype = ctypes.c_int
         _LIB = lib
-    except Exception:
+    except Exception as e:
+        from ..utils.fallback import warn_fallback
+        warn_fallback("sais.cpp (suffix-array builder)", e)
         _LIB_FAILED = True
     return _LIB
 

@@ -82,8 +82,10 @@ class TPUClassificationPipeline:
                     from ..native.fmwalk import HostResolver
                     self.resolver = HostResolver(sharr.blocks, idx,
                                                  sharr.wide)
-                except (ImportError, RuntimeError):
-                    pass  # native lib absent: keep the device resolver
+                except (ImportError, RuntimeError) as e:
+                    # native lib absent: keep the device resolver
+                    from ..utils.fallback import warn_fallback
+                    warn_fallback("fmwalk.cpp (sharded HostResolver)", e)
         else:
             # a prebuilt DeviceFMIndex skips the host block packing +
             # device upload (minutes for multi-Gbp indexes), letting
@@ -107,8 +109,9 @@ class TPUClassificationPipeline:
                     # rows resolve on the host now: skip the speculative
                     # device presolve AND its prefetch download
                     self.presolve = False
-                except Exception:
-                    pass
+                except Exception as e:
+                    from ..utils.fallback import warn_fallback
+                    warn_fallback("fmwalk.cpp (HostResolver)", e)
 
     def _init_with_engine(self, idx, cfg, engine, resolver, dfm=None,
                           sync=None):
@@ -150,7 +153,9 @@ class TPUClassificationPipeline:
                 from ..native.engine import NativeAssigner
                 self.native = NativeAssigner(idx, self.cfg.classifier,
                                              self.classifier)
-            except Exception:
+            except Exception as e:
+                from ..utils.fallback import warn_fallback
+                warn_fallback("assign.cpp (NativeAssigner)", e)
                 self.native = None
 
     # ---- species metrics (native flat path keeps them in C++) ----

@@ -80,7 +80,9 @@ def load_native():
             u8p, i64p, u8p, i64p, u8p, i64p,
             C.c_int64, C.c_uint64, u32p]
         _LIB = lib
-    except Exception:
+    except Exception as e:
+        from ..utils.fallback import warn_fallback
+        warn_fallback("assign.cpp (assignment engine)", e)
         _LIB_FAILED = True
     return _LIB
 

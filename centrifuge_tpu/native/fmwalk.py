@@ -38,7 +38,9 @@ def _load():
             C.c_int32, C.c_int64, _i64p, _i32p, C.c_int64, C.c_int32,
             C.POINTER(C.c_int64)]
         _LIB = lib
-    except Exception:
+    except Exception as e:
+        from ..utils.fallback import warn_fallback
+        warn_fallback("fmwalk.cpp (host SA resolver)", e)
         _LIB_FAILED = True
         _LIB = None
     return _LIB

@@ -35,7 +35,9 @@ def _load():
             _u8p, _i64p, _i32p, C.c_int64, C.c_int64, _u8p, C.c_int64,
             C.c_int32, _i32p]
         _LIB = lib
-    except Exception:
+    except Exception as e:
+        from ..utils.fallback import warn_fallback
+        warn_fallback("pack.cpp (read packer)", e)
         _LIB_FAILED = True
         _LIB = None
     return _LIB

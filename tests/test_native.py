@@ -228,3 +228,29 @@ def test_native_pack_transport_matches_numpy():
     np.testing.assert_array_equal(ref, got)
     np.testing.assert_array_equal(
         lens[:777], np.array([len(s) for s in seqs], np.int32))
+
+
+def test_broken_native_lib_warns_loudly(monkeypatch, capsys):
+    """A native extension that fails to build must (a) fall back to the
+    Python path, (b) print ONE stderr warning, and (c) show up in
+    utils.fallback.fallbacks() so bench.py can flag it."""
+    import centrifuge_tpu.native.pack as pack
+    import centrifuge_tpu.utils.fallback as fb
+
+    monkeypatch.setattr(pack, "_LIB", None)
+    monkeypatch.setattr(pack, "_LIB_FAILED", False)
+    monkeypatch.setattr(fb, "_WARNED", {})
+
+    def boom(*a, **k):
+        raise RuntimeError("deliberately broken toolchain")
+    import centrifuge_tpu.native.compile as comp
+    monkeypatch.setattr(comp, "build_native", boom)
+
+    assert pack._load() is None           # fell back
+    assert pack._load() is None           # second call: cached failure
+    err = capsys.readouterr().err
+    assert err.count("pack.cpp") == 1     # warned exactly once
+    assert "falling back" in err
+    flagged = fb.fallbacks()
+    assert any("pack.cpp" in k for k in flagged)
+    assert "deliberately broken" in next(iter(flagged.values()))
