@@ -105,6 +105,96 @@ def leg_real(out):
     return line
 
 
+def _time_device_only_sharded(eng, lane_seqs, batches=5, lane_lo=16384):
+    """Sharded twin of evaluation.prof._time_device_only: jit the sharded
+    search + a scalar checksum so the timed block is device-only (no
+    download), matching the plain engine's instrument shape-for-shape."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from centrifuge_tpu.classify.engine import _bucket, _bucket_len
+    maxlen = max(len(s) for s in lane_seqs)
+    lmax = _bucket_len(maxlen, lo=eng.lmax_lo)
+    nlanes = _bucket(len(lane_seqs), lo=lane_lo)
+    rseqp, lengths, tmode = eng.pack_transport2(lane_seqs, lmax, nlanes)
+    per = nlanes // eng.n_dp
+    segs = eng._segments(per, maxlen)
+    mh = min(eng.FIRST_MAX_HITS, lmax)
+    compact = eng._compact_ok(lmax + eng.sh.ftab_chars, mh,
+                              pool=per >= eng.pool_min_lanes)
+    start = np.zeros(nlanes, np.int32)
+    l = jnp.asarray(lengths)
+    s = jnp.asarray(start)
+
+    @jax.jit
+    def run(rseq, lengths, start):
+        packed = eng._search(rseq, lengths, start, max_hits=mh,
+                             first_hit_only=False, compact=compact,
+                             packed_input=tmode, segments=segs)
+        return packed.astype(jnp.int32).sum()
+
+    float(run(jnp.asarray(rseqp), l, s))   # compile
+    ts = []
+    for i in range(batches):
+        # perturb one byte per run so the tunnel can't serve a cached
+        # execution result (same trick as prof._time_device_only)
+        rp = rseqp.copy()
+        rp[-1, -1] = (i + 1) & 0x33
+        r = jnp.asarray(rp)
+        r.block_until_ready()
+        t0 = time.perf_counter()
+        float(run(r, l, s))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def leg_device(out):
+    """Shard-abstraction overhead with a resolvable instrument: the
+    device-only search block (scalar checksum, <3.5% spread) through the
+    plain engine vs the 1x1-mesh sharded engine at identical shapes.
+    Replaces the r4 e2e median-of-3 comparison whose >2x tunnel noise
+    produced physically impossible negative overheads."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from centrifuge_tpu.classify.tpu_pipeline import TPUClassificationPipeline
+    from centrifuge_tpu.evaluation.prof import _time_device_only
+    from centrifuge_tpu.index.cf_io import load_cf_index
+
+    idx = load_cf_index(os.path.join(FIXDIR, "synth"))
+    reads = _mk_reads(BATCH)
+
+    plain = TPUClassificationPipeline(idx)
+    plain.engine.lane_bucket_lo = 2 * BATCH
+    plain.engine.lmax_lo = 32
+    units = plain._prep_unpaired(reads)
+    lane_seqs = [s for unit in units for fw, rc in unit for s in (fw, rc)]
+    t_plain = _time_device_only(plain.engine, lane_seqs, batches=5,
+                                lane_lo=2 * BATCH)
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "fm"))
+    shard = TPUClassificationPipeline(idx, mesh=mesh, n_fm=1)
+    shard.engine.lane_bucket_lo = 2 * BATCH
+    shard.engine.lmax_lo = 32
+    t_shard = _time_device_only_sharded(shard.engine, lane_seqs,
+                                        batches=5, lane_lo=2 * BATCH)
+
+    line = {
+        "metric": "shard_abstraction_overhead_device_only",
+        "plain_ms_per_batch": round(t_plain * 1e3, 1),
+        "sharded_1x1_ms_per_batch": round(t_shard * 1e3, 1),
+        "overhead_pct": round(100 * (t_shard / t_plain - 1), 1),
+        "lanes": 2 * BATCH,
+        "method": "jitted search + scalar checksum (no download), min of "
+                  "5 perturbed runs each; the device-only block held "
+                  "<3.5% spread in r4 while e2e tunnel noise exceeded "
+                  "2x, so this instrument can resolve single-digit "
+                  "overheads the r4 e2e comparison could not",
+    }
+    print(json.dumps(line), flush=True)
+    return line
+
+
 def leg_cpu(out):
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -195,12 +285,17 @@ def leg_cpu(out):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--real", action="store_true")
+    ap.add_argument("--device", action="store_true",
+                    help="device-only 1x1 overhead leg (the resolvable "
+                         "instrument; run on the real chip)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
     lines = []
     if args.real:
         lines.append(leg_real(args.out))
+    if args.device:
+        lines.append(leg_device(args.out))
     if args.cpu:
         lines.append(leg_cpu(args.out))
     if args.out and lines:
