@@ -81,7 +81,16 @@ def _sweep(argv):
                     default="tests/fixtures/synth/synth")
     ap.add_argument("-U", dest="reads", default=None)
     ap.add_argument("--per-device-batch", type=int, default=2048)
-    ap.add_argument("--out", default="SCALING_r04.json")
+    ap.add_argument("--out", default="SCALING_r05.json")
+    ap.add_argument("--with-dp-curve", action="store_true",
+                    help="also run the dp=1/2/4/8 virtual-device curve "
+                         "(DEMOTED: on a 4-vCPU host it measures core "
+                         "oversubscription, not wiring -- r4 showed "
+                         "0.19-0.47 'efficiencies' that were pure "
+                         "scheduler noise)")
+    ap.add_argument("--trials", type=int, default=3,
+                    help="repeats of each multiprocess leg (the pinned "
+                         "legs must reproduce within ~5%)")
     args = ap.parse_args(argv)
     if args.reads is None:
         # prefer bench.py's 49k sim file (fills 2048-read batches at
@@ -93,71 +102,102 @@ def _sweep(argv):
     env = dict(os.environ,
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
 
-    dp_curve = []
-    for dp in (1, 2, 4, 8):
-        r = subprocess.run(
-            [sys.executable, "-m", "centrifuge_tpu.parallel.scaling_bench",
-             "--virtual-dp", "--dp", str(dp), "-x", args.index,
-             "-U", args.reads,
-             "--per-device-batch", str(args.per_device_batch)],
-            env=env, capture_output=True, text=True)
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
-        if not line:
-            print(r.stdout, r.stderr, file=sys.stderr)
-            raise RuntimeError(f"dp={dp} leg failed")
-        rec = json.loads(line[-1])
-        rec["weak_efficiency"] = (
-            round(rec["reads_per_sec"]
-                  / (dp * dp_curve[0]["reads_per_sec"]), 3)
-            if dp_curve else 1.0)
-        dp_curve.append(rec)
-        print(f"dp={dp}: {rec['reads_per_sec']} reads/s "
-              f"eff={rec['weak_efficiency']}", flush=True)
+    dp_curve = None
+    if args.with_dp_curve:
+        dp_curve = []
+        for dp in (1, 2, 4, 8):
+            r = subprocess.run(
+                [sys.executable, "-m",
+                 "centrifuge_tpu.parallel.scaling_bench",
+                 "--virtual-dp", "--dp", str(dp), "-x", args.index,
+                 "-U", args.reads,
+                 "--per-device-batch", str(args.per_device_batch)],
+                env=env, capture_output=True, text=True)
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            if not line:
+                print(r.stdout, r.stderr, file=sys.stderr)
+                raise RuntimeError(f"dp={dp} leg failed")
+            rec = json.loads(line[-1])
+            rec["weak_efficiency"] = (
+                round(rec["reads_per_sec"]
+                      / (dp * dp_curve[0]["reads_per_sec"]), 3)
+                if dp_curve else 1.0)
+            dp_curve.append(rec)
+            print(f"dp={dp}: {rec['reads_per_sec']} reads/s "
+                  f"eff={rec['weak_efficiency']}", flush=True)
 
+    # multiprocess weak-scaling legs, CPU-PINNED: every process gets 2
+    # dedicated cores (taskset), so nprocs=1 vs nprocs=2 compares equal
+    # per-process resources and the efficiency is not host-load-coupled.
+    # nprocs=4 would need 16 cores under that policy; on this 4-core
+    # host it is out of scope (r4's unpinned 4-proc leg measured the
+    # scheduler, not the framework).
     host_curve = []
-    for nprocs in (1, 2, 4):
-        procs = []
-        outs = []
-        for pid in range(nprocs):
-            cmd = [sys.executable, "-m",
-                   "centrifuge_tpu.parallel.scaling_bench",
-                   "--coordinator", f"localhost:{12671 + nprocs}",
-                   "--nprocs", str(nprocs), "--procid", str(pid),
-                   "--local-devices", "2",
-                   "-x", args.index, "-U", args.reads,
-                   # 2 batches/process when the 49k sim file is present;
-                   # the 3000-read fixture degrades to 1x512 per process
-                   "--batch", "512", "--limit", str(4096 * nprocs)]
-            procs.append(subprocess.Popen(
-                cmd, env=env, stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE, text=True))
-        for p in procs:
-            out, err = p.communicate(timeout=900)
-            outs.append((p.returncode, out, err))
-        line = [l for l in outs[0][1].splitlines() if l.startswith("{")]
-        if not line or any(rc for rc, _, _ in outs):
-            for rc, out, err in outs:
-                print(rc, out[-500:], err[-1000:], file=sys.stderr)
-            raise RuntimeError(f"nprocs={nprocs} leg failed")
-        rec = json.loads(line[-1])
+    for nprocs in (1, 2):
+        runs = []
+        for trial in range(args.trials):
+            procs = []
+            outs = []
+            for pid in range(nprocs):
+                cores = f"{2 * pid},{2 * pid + 1}"
+                cmd = ["taskset", "-c", cores,
+                       sys.executable, "-m",
+                       "centrifuge_tpu.parallel.scaling_bench",
+                       "--coordinator",
+                       f"localhost:{12671 + 10 * nprocs + trial}",
+                       "--nprocs", str(nprocs), "--procid", str(pid),
+                       "--local-devices", "2",
+                       "-x", args.index, "-U", args.reads,
+                       "--batch", "512", "--limit", str(4096 * nprocs)]
+                procs.append(subprocess.Popen(
+                    cmd, env=env, stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE, text=True))
+            for p in procs:
+                out, err = p.communicate(timeout=900)
+                outs.append((p.returncode, out, err))
+            line = [l for l in outs[0][1].splitlines()
+                    if l.startswith("{")]
+            if not line or any(rc for rc, _, _ in outs):
+                for rc, out, err in outs:
+                    print(rc, out[-500:], err[-1000:], file=sys.stderr)
+                raise RuntimeError(f"nprocs={nprocs} leg failed")
+            runs.append(json.loads(line[-1]))
+            print(f"nprocs={nprocs} trial {trial}: "
+                  f"{runs[-1]['aggregate_reads_per_sec']} reads/s",
+                  flush=True)
+        rates = sorted(r["aggregate_reads_per_sec"] for r in runs)
+        rec = dict(runs[0])
+        rec["aggregate_reads_per_sec"] = rates[len(rates) // 2]
+        rec["trial_rates"] = rates
+        rec["trial_spread_pct"] = round(
+            100 * (rates[-1] - rates[0]) / rates[len(rates) // 2], 1)
+        rec["pinned_cores_per_process"] = 2
         rec["weak_efficiency"] = (
             round(rec["aggregate_reads_per_sec"]
                   / (nprocs * host_curve[0]["aggregate_reads_per_sec"]), 3)
             if host_curve else 1.0)
         host_curve.append(rec)
-        print(f"nprocs={nprocs}: {rec['aggregate_reads_per_sec']} "
-              f"aggregate reads/s eff={rec['weak_efficiency']}", flush=True)
+        print(f"nprocs={nprocs}: median "
+              f"{rec['aggregate_reads_per_sec']} aggregate reads/s "
+              f"eff={rec['weak_efficiency']} "
+              f"spread={rec['trial_spread_pct']}%", flush=True)
 
     artifact = {
         "metric": "scaling_efficiency_virtual",
-        "weak_scaling_dp_curve": dp_curve,
         "weak_scaling_multiprocess_curve": host_curve,
+        "dp_virtual_curve": dp_curve,
+        "dp_curve_note": (
+            "omitted by default: on a 4-vCPU host the dp=4/8 virtual-"
+            "device legs measure core oversubscription, not framework "
+            "wiring (r4 measured 0.19-0.47 'efficiencies' that were "
+            "scheduler noise)"),
         "hardware_caveat": (
-            "Measured on ONE machine (4 vCPUs) with virtual CPU devices: "
-            "dp=4/8 and nprocs=4 oversubscribe physical cores, so these "
-            "efficiencies are a LOWER bound on wiring overhead, not a "
-            "hardware ICI/DCN measurement. Real multi-chip hardware is "
-            "not available in this environment."),
+            "Measured on ONE machine (4 vCPUs) with virtual CPU devices, "
+            "2 dedicated cores per process (taskset): this bounds the "
+            "multihost wiring + DCN-sync overhead with equalized "
+            "per-process resources, but is NOT a hardware ICI/DCN "
+            "measurement. Real multi-chip hardware is not available in "
+            "this environment."),
         "ici_model": (
             "During search the dp axis issues NO cross-device "
             "collectives (reads are embarrassingly parallel; psums span "
