@@ -1301,16 +1301,28 @@ class BatchSearchEngine:
         return (packed, rseqp, lengths, mh, lmax, nlanes, compact, None,
                 tmode)
 
+    def search_fetch(self, handle):
+        """Block on the device transfer ONLY (the part that must hold
+        dev_lock); returns a handle whose arrays are host numpy.
+        Idempotent, so the overlap pipeline can fetch on the main thread
+        and hand the (device-free) unpack to the tail worker."""
+        (packed, rseqp, lengths, mh, lmax, nlanes, compact, pre,
+         tmode) = handle
+        if isinstance(packed, np.ndarray):
+            return handle
+        with self.dev_lock:
+            packed = np.asarray(packed)
+            pre = None if pre is None else [np.asarray(a) for a in pre]
+        return (packed, rseqp, lengths, mh, lmax, nlanes, compact, pre,
+                tmode)
+
     def search_collect(self, handle, L: int):
         """Block on a search_async handle; returns (arrays, prefetch):
         arrays = [h_top, h_bot, h_off, h_len, nhits, sums] per lane and
         prefetch = (rows_sorted, tidx_sorted) when the dispatch had
         presolve=True, else None."""
         (packed, rseqp, lengths, mh, lmax, nlanes, compact, pre,
-         tmode) = handle
-        with self.dev_lock:
-            packed = np.asarray(packed)
-            pre = None if pre is None else [np.asarray(a) for a in pre]
+         tmode) = self.search_fetch(handle)
         if compact in (3, 4, 5, 6):
             out = _unpack_pool_outputs(
                 packed, nlanes, mh,

@@ -204,12 +204,39 @@ class TPUClassificationPipeline:
                 if pf and nr > 0)
         m.batches += 1
 
-    def _tally_outer(self, recs, passes) -> None:
+    def _tally_outer(self, recs, passes, flat3=None) -> None:
         """OuterLoopMetrics counters: SameRead(Base) counts reads whose
         sequence equals the previous read's (the reference's skip-rerun
         optimization hits, centrifuge.cpp srreads), Unfiltered counts
-        filter survivors. reads/bases totals are tallied per path."""
+        filter survivors. reads/bases totals are tallied per path.
+
+        With flat3 and a uniform read length (the overwhelmingly common
+        batch shape) this is one vectorized row-compare; the per-read
+        np.array_equal loop cost ~8 us/read = ~130 ms per 16k-read batch
+        ON THE MAIN THREAD of the overlap pipeline."""
         m = self.metrics
+        n = len(recs)
+        if n == 0:
+            return
+        if flat3 is not None:
+            flat, lens, _off = flat3
+            L = int(lens[0])
+            if np.all(lens == L) and flat.shape[0] == n * L:
+                ok = np.asarray(passes, bool)
+                m.ureads += int(ok.sum())
+                m.ubases += int(lens[ok].sum())
+                mat = flat.reshape(n, L)
+                eq = np.zeros(n, bool)
+                if n > 1:
+                    eq[1:] = (mat[1:] == mat[:-1]).all(axis=1)
+                prev = self._last_seq
+                if prev is not None and prev.shape[0] == L:
+                    eq[0] = bool(np.array_equal(mat[0], prev))
+                ns = int(eq.sum())
+                m.srreads += ns
+                m.srbases += ns * L
+                self._last_seq = recs[-1].seq
+                return
         prev = self._last_seq
         for rec, ok in zip(recs, passes):
             sq = rec.seq
@@ -287,7 +314,7 @@ class TPUClassificationPipeline:
         flat3 = batch_flat_seqs(recs)
         units = self._prep_unpaired(recs, flat3=flat3)
         passes = batch_read_passes(recs, self.cfg, flat3=flat3)
-        self._tally_outer(recs, passes)
+        self._tally_outer(recs, passes, flat3=flat3)
         if self.native is not None:
             fut = self._dispatch_units(units, passes)
             return self._finish_batch(recs, passes, units, fut)
@@ -312,7 +339,7 @@ class TPUClassificationPipeline:
             flat3 = batch_flat_seqs(recs)
             units = self._prep_unpaired(recs, flat3=flat3)
             passes = batch_read_passes(recs, self.cfg, flat3=flat3)
-            self._tally_outer(recs, passes)
+            self._tally_outer(recs, passes, flat3=flat3)
             fut = self._dispatch_units(units, passes)
             # seeds depend only on inputs: hash them now so the work
             # overlaps the device instead of sitting after the collect
@@ -334,6 +361,7 @@ class TPUClassificationPipeline:
         state per batch ~= max(device compute + transfer, host tail)
         instead of their sum. Tails run FIFO on one worker, so the
         native spm accumulation order (byte parity) is unchanged."""
+        import time as _t
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -341,14 +369,33 @@ class TPUClassificationPipeline:
             pending = deque()   # dispatched, not yet collected
             tails = deque()     # host-tail futures, FIFO
 
+            def timed_fin(fin, *a):
+                t0 = _t.perf_counter()
+                out = fin(*a)
+                self.metrics.tail_run_secs += _t.perf_counter() - t0
+                return out
+
+            def result(f):
+                t0 = _t.perf_counter()
+                out = f.result()
+                self.metrics.tail_wait_secs += _t.perf_counter() - t0
+                return out
+
             def drain_one():
                 item = pending.popleft()
                 fut = item[-2]
-                lane_seqs, _lm, handle = fut
-                collected = self._collect(handle, len(lane_seqs)) \
-                    if lane_seqs else None
+                lane_seqs, lane_map, handle = fut
+                if lane_seqs:
+                    # block on the device TRANSFER here (main thread owns
+                    # all jax interactions); the host-side unpack runs in
+                    # the tail worker via _collect(collected=None)
+                    t0 = _t.perf_counter()
+                    handle = self.engine.search_fetch(handle)
+                    self.metrics.collect_wait_secs += _t.perf_counter() - t0
+                    item = item[:-2] + ((lane_seqs, lane_map, handle),
+                                        item[-1])
                 fin = self._finish_paired if paired else self._finish_batch
-                tails.append(ex.submit(fin, *item, collected))
+                tails.append(ex.submit(timed_fin, fin, *item, None))
 
             for b in batches:
                 if paired:
@@ -360,7 +407,7 @@ class TPUClassificationPipeline:
                     flat3 = batch_flat_seqs(b)
                     units = self._prep_unpaired(b, flat3=flat3)
                     passes = batch_read_passes(b, self.cfg, flat3=flat3)
-                    self._tally_outer(b, passes)
+                    self._tally_outer(b, passes, flat3=flat3)
                     fut = self._dispatch_units(units, passes)
                     seeds = gen_read_seeds_batch(b, self.cfg.seed,
                                                  flat3=flat3)
@@ -368,11 +415,11 @@ class TPUClassificationPipeline:
                 if len(pending) > 2:
                     drain_one()
                 while len(tails) > 1:
-                    yield tails.popleft().result()
+                    yield result(tails.popleft())
             while pending:
                 drain_one()
             while tails:
-                yield tails.popleft().result()
+                yield result(tails.popleft())
 
     def _dispatch_units(self, units, active):
         """Launch the device search for a batch; returns an opaque handle.

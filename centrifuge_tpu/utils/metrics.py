@@ -117,6 +117,8 @@ class PerfMetrics:
     upload_bytes: int = 0
     download_bytes: int = 0
     collect_wait_secs: float = 0.0
+    tail_wait_secs: float = 0.0    # main thread blocked on worker tails
+    tail_run_secs: float = 0.0     # worker-thread tail occupancy
     reads_classified: int = 0
     reads_unclassified: int = 0
     assignments: int = 0
