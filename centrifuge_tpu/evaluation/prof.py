@@ -82,6 +82,7 @@ def _time_device_only(eng, lane_seqs, batches=3, lane_lo=None):
 
 
 def main(argv=None):
+    global BATCH
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", default=os.path.join(FIXDIR, "synth"))
     ap.add_argument("--reads", default=None)
@@ -89,7 +90,13 @@ def main(argv=None):
     ap.add_argument("--no-steps", action="store_true",
                     help="skip the step-count kernel (extra compile)")
     ap.add_argument("--no-host-resolve", action="store_true")
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--out", default=None,
+                    help="write a JSON artifact with the breakdown")
     args = ap.parse_args(argv)
+    BATCH = args.batch
+    art = {"metric": "e2e_cost_breakdown", "batch_reads": BATCH,
+           "lanes": 2 * BATCH}
 
     from centrifuge_tpu.classify.pipeline import PipelineConfig
     from centrifuge_tpu.classify.tpu_pipeline import TPUClassificationPipeline
@@ -103,13 +110,18 @@ def main(argv=None):
 
     if args.reads is None:
         from centrifuge_tpu.evaluation.simulate import SimConfig, simulate
-        sim_prefix = "/tmp/cftpu_bench_sim"
-        if not os.path.exists(sim_prefix + ".fq"):
-            simulate(os.path.join(FIXDIR, "db.fa"),
-                     os.path.join(FIXDIR, "conv.dmp"), sim_prefix,
-                     SimConfig(num_fragments=3 * BATCH, read_length=150,
-                               error_rate=0.002, seed=42))
-        args.reads = sim_prefix + ".fq"
+        need = max(3 * BATCH, args.batches * BATCH)
+        bench_sim = "/tmp/cftpu_bench_sim_196608.fq"   # bench.py's file
+        sim_prefix = f"/tmp/cftpu_bench_sim_{need}"
+        if os.path.exists(bench_sim) and need <= 196608:
+            args.reads = bench_sim
+        else:
+            if not os.path.exists(sim_prefix + ".fq"):
+                simulate(os.path.join(FIXDIR, "db.fa"),
+                         os.path.join(FIXDIR, "conv.dmp"), sim_prefix,
+                         SimConfig(num_fragments=need, read_length=150,
+                                   error_rate=0.002, seed=42))
+            args.reads = sim_prefix + ".fq"
     reads = read_batch([args.reads])
     n = min(len(reads), args.batches * BATCH)
     n = (n // BATCH) * BATCH
@@ -151,10 +163,13 @@ def main(argv=None):
     print(f"device search+fetch/batch: "
           f"{statistics.median(dev_times)*1e3:.0f} ms "
           f"(runs: {[f'{t*1e3:.0f}' for t in dev_times]})", flush=True)
+    art["device_search_fetch_ms"] = round(
+        statistics.median(dev_times) * 1e3, 1)
 
     # device-compute-only (scalar output, no hit download)
     dev = _time_device_only(eng, lane_seqs)
     print(f"device compute only (no download): {dev*1e3:.0f} ms", flush=True)
+    art["device_compute_ms"] = round(dev * 1e3, 1)
 
     # dispatch-only (upload+launch) latency
     t0 = time.perf_counter()
@@ -167,6 +182,8 @@ def main(argv=None):
     blockt = time.perf_counter() - t0
     print(f"dispatch {disp*1e3:.0f} ms + block {blockt*1e3:.0f} ms",
           flush=True)
+    art["dispatch_ms"] = round(disp * 1e3, 1)
+    art["transfer_block_ms"] = round(blockt * 1e3, 1)
 
     # ---- host tail alone: replay collected arrays ----
     recs = reads[-BATCH:]
@@ -192,6 +209,7 @@ def main(argv=None):
         host_times.append(time.perf_counter() - t0)
     print(f"host tail/batch: {statistics.median(host_times)*1e3:.0f} ms "
           f"(runs: {[f'{t*1e3:.0f}' for t in host_times]})", flush=True)
+    art["host_tail_ms"] = round(statistics.median(host_times) * 1e3, 1)
     # prep cost (revcomp+pack happens before dispatch)
     t0 = time.perf_counter()
     units = pipe._prep_unpaired(recs)
@@ -199,25 +217,44 @@ def main(argv=None):
     prep = time.perf_counter() - t0
     print(f"host prep (revcomp+pack+transport)/batch: {prep*1e3:.0f} ms",
           flush=True)
+    art["host_prep_ms"] = round(prep * 1e3, 1)
 
-    # ---- e2e pipelined, as bench.py ----
-    e2e = []
-    for _ in range(3):
-        p2 = TPUClassificationPipeline(idx, cfg, dfm=pipe.dfm)
-        p2.engine.lane_bucket_lo = 2 * BATCH
-        p2.engine.lmax_lo = 32
-        t0 = time.perf_counter()
-        for _ in p2.classify_stream_unpaired(
-                reads[i: i + BATCH] for i in range(0, n, BATCH)):
-            pass
-        e2e.append(n / (time.perf_counter() - t0))
-    print(f"e2e: {statistics.median(e2e):.0f} reads/s "
-          f"(runs: {[f'{x:.0f}' for x in e2e]})", flush=True)
-    m = p2.metrics
-    print(f"collect_wait {m.collect_wait_secs:.2f}s over {m.batches} "
-          f"batches; upload {m.upload_bytes/1e6:.1f} MB download "
-          f"{m.download_bytes/1e6:.1f} MB; resolve_rows {m.resolve_rows}; "
-          f"ext {m.ext_searches} searches/{m.ext_lanes} lanes", flush=True)
+    # ---- e2e pipelined, serial vs tail-thread overlap ----
+    from dataclasses import replace as _cfgreplace
+    for label, thr in (("serial", False), ("threaded", True)):
+        c2 = _cfgreplace(cfg, threaded_stream=thr)
+        e2e = []
+        for _ in range(3):
+            p2 = TPUClassificationPipeline(idx, c2, dfm=pipe.dfm)
+            p2.engine.lane_bucket_lo = 2 * BATCH
+            p2.engine.lmax_lo = 32
+            t0 = time.perf_counter()
+            for _ in p2.classify_stream_unpaired(
+                    reads[i: i + BATCH] for i in range(0, n, BATCH)):
+                pass
+            e2e.append(n / (time.perf_counter() - t0))
+        print(f"e2e {label}: {statistics.median(e2e):.0f} reads/s "
+              f"(runs: {[f'{x:.0f}' for x in e2e]})", flush=True)
+        art[f"e2e_{label}_reads_per_sec"] = round(
+            statistics.median(e2e), 1)
+        art[f"e2e_{label}_runs"] = [round(x, 1) for x in e2e]
+        m = p2.metrics
+        print(f"  collect_wait {m.collect_wait_secs:.2f}s tail_wait "
+              f"{m.tail_wait_secs:.2f}s tail_run {m.tail_run_secs:.2f}s "
+              f"over {m.batches} batches; upload "
+              f"{m.upload_bytes/1e6:.1f} MB download "
+              f"{m.download_bytes/1e6:.1f} MB; resolve_rows "
+              f"{m.resolve_rows}; ext {m.ext_searches} searches/"
+              f"{m.ext_lanes} lanes", flush=True)
+        art[f"e2e_{label}_collect_wait_s"] = round(m.collect_wait_secs, 2)
+        art[f"e2e_{label}_tail_wait_s"] = round(m.tail_wait_secs, 2)
+        art[f"e2e_{label}_tail_run_s"] = round(m.tail_run_secs, 2)
+        art[f"e2e_{label}_batches"] = m.batches
+    art["upload_mb_per_batch"] = round(
+        m.upload_bytes / 1e6 / max(m.batches, 1), 2)
+    art["download_mb_per_batch"] = round(
+        m.download_bytes / 1e6 / max(m.batches, 1), 2)
+    art["resolve_rows_per_batch"] = m.resolve_rows // max(m.batches, 1)
 
     # ---- lockstep waste: per-lane step counts ----
     if not args.no_steps:
@@ -259,6 +296,15 @@ def main(argv=None):
             t = int(np.quantile(live, 1 - frac))
             print(f"  {frac*100:5.1f}% lanes still active at step {t} "
                   f"({t/mx*100:.0f}% of max)", flush=True)
+        art["lockstep_mean_steps"] = round(float(live.mean()), 1)
+        art["lockstep_max_steps"] = int(mx)
+
+    import json
+    art["index_bwt_len"] = int(idx.bwt_len)
+    print(json.dumps(art), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(json.dumps(art) + "\n")
 
 
 if __name__ == "__main__":
