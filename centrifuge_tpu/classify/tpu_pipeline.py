@@ -330,6 +330,7 @@ class TPUClassificationPipeline:
         release the GIL). Output order and the shared metrics/species
         state stay serialized on the caller's thread."""
         if (self.native is not None and self.cfg.threaded_stream
+                and self.sync is None
                 and getattr(self.engine, "dev_lock", None) is not None):
             yield from self._stream_overlap(batches, paired=False)
             return
@@ -541,7 +542,7 @@ class TPUClassificationPipeline:
             for pairs in batches:
                 yield self.classify_batch_paired(pairs)
             return
-        if (self.cfg.threaded_stream
+        if (self.cfg.threaded_stream and self.sync is None
                 and getattr(self.engine, "dev_lock", None) is not None):
             yield from self._stream_overlap(batches, paired=True)
             return

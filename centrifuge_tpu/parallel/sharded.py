@@ -485,6 +485,13 @@ class ShardedSearchEngine:
         self.segment_min_lanes = 4096   # per dp shard
         self.stats = {"upload_bytes": 0, "download_bytes": 0,
                       "ext_searches": 0, "ext_lanes": 0}
+        # serializes jax interactions for the tail-thread overlap (same
+        # contract as BatchSearchEngine.dev_lock); the multi-host
+        # subclass runs the serial stream regardless (the pipeline gates
+        # the overlap on sync is None -- SPMD collectives must not be
+        # issued from two threads of one process)
+        import threading
+        self.dev_lock = threading.RLock()
 
     # ---- borrowed single-chip helpers (identical semantics; the fm
     # geometry fields they read exist on ShardedFMArrays) ----
@@ -524,10 +531,12 @@ class ShardedSearchEngine:
         compact = self._compact_ok(plen, max_hits,
                                    pool=pool and per >= self.pool_min_lanes)
         self.stats["upload_bytes"] += rseqp.nbytes + lengths.nbytes
-        packed = np.asarray(self._search(
-            jnp.asarray(rseqp), jnp.asarray(lengths), jnp.asarray(start),
-            max_hits=max_hits, first_hit_only=first_hit_only,
-            compact=compact, packed_input=tmode, segments=segs))
+        with self.dev_lock:
+            packed = np.asarray(self._search(
+                jnp.asarray(rseqp), jnp.asarray(lengths),
+                jnp.asarray(start),
+                max_hits=max_hits, first_hit_only=first_hit_only,
+                compact=compact, packed_input=tmode, segments=segs))
         self.stats["download_bytes"] += packed.nbytes
         return self._unpack(packed, nlanes, max_hits, compact)
 
@@ -544,17 +553,30 @@ class ShardedSearchEngine:
         segs = self._segments(per, maxlen)
         compact = self._compact_ok(lmax + self.sh.ftab_chars, mh,
                                    pool=per >= self.pool_min_lanes)
-        packed = self._search(
-            jnp.asarray(rseqp), jnp.asarray(lengths), jnp.asarray(start),
-            max_hits=mh, first_hit_only=False, compact=compact,
-            packed_input=tmode, segments=segs)
-        _start_host_copy(packed)
+        with self.dev_lock:
+            packed = self._search(
+                jnp.asarray(rseqp), jnp.asarray(lengths),
+                jnp.asarray(start),
+                max_hits=mh, first_hit_only=False, compact=compact,
+                packed_input=tmode, segments=segs)
+            _start_host_copy(packed)
         self.stats["upload_bytes"] += rseqp.nbytes + lengths.nbytes
         return (packed, rseqp, lengths, mh, lmax, nlanes, compact, tmode)
 
-    def search_collect(self, handle, L: int):
+    def search_fetch(self, handle):
+        """Device-transfer block only (idempotent); see the single-chip
+        engine's contract -- the overlap pipeline fetches on the main
+        thread and unpacks in the tail worker."""
         packed, rseqp, lengths, mh, lmax, nlanes, compact, tmode = handle
-        packed = np.asarray(packed)
+        if isinstance(packed, np.ndarray):
+            return handle
+        with self.dev_lock:
+            packed = np.asarray(packed)
+        return (packed, rseqp, lengths, mh, lmax, nlanes, compact, tmode)
+
+    def search_collect(self, handle, L: int):
+        (packed, rseqp, lengths, mh, lmax, nlanes, compact,
+         tmode) = self.search_fetch(handle)
         self.stats["download_bytes"] += packed.nbytes
         out = self._unpack(packed, nlanes, mh, compact)
         out = self._handle_overflow(out, rseqp, lengths, mh, lmax, nlanes,
