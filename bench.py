@@ -37,21 +37,20 @@ sys.path.insert(0, REPO)
 BASELINE_READS_PER_SEC = 3333.0
 REF_CPU_LOCAL = 167000.0
 FIXDIR = os.path.join(REPO, "tests", "fixtures", "synth")
-# 16384-read batches (32k lanes): the search step has a ~200 us/step
-# lane-count-independent floor, so doubling the batch is +22% measured
-BATCH = 16384
-# 12 batches/run: with the 3-deep pipeline + per-trial pipeline
-# construction, short runs are fill/setup-dominated (measured under
-# identical load: 3 batches 40.3k, 6 batches 59.6k reads/s -- a ~0.8 s
-# fixed cost vs ~0.14 s/batch steady cost). 12 batches amortizes the
-# fixed cost to <15% so the metric reflects streaming steady state;
+# 32768-read batches (64k lanes): the search step has a ~200 us/step
+# lane-count-independent floor; 64k lanes measured +5% e2e over 32k
+# (97.7k vs 93.2k quiet, r5) on top of r4's +22% for 16k->32k
+BATCH = 32768
+# 6 batches/run (196k reads, same total as r4's 12x16k): short runs
+# are fill/setup-dominated (~0.8 s fixed cost measured r4), and this
+# amortizes it to <15% so the metric reflects streaming steady state;
 # real workloads (millions of reads) amortize it to nothing.
-N_THROUGHPUT_READS = 12 * BATCH  # full batches only: one jit shape set
+N_THROUGHPUT_READS = 6 * BATCH  # full batches only: one jit shape set
 TRIALS = 3
 
 
 def _share_shapes(pipe):
-    # both phases run at (16384 lanes, one 32-wide length band):
+    # both phases run at (2*BATCH lanes, one 32-wide length band):
     # one compile total (fixture + sim reads are both 150 bp -> 160)
     pipe.engine.lane_bucket_lo = 2 * BATCH
     pipe.engine.lmax_lo = 32
@@ -122,7 +121,7 @@ def main():
     # ---- phase 2b: paired throughput (half the reference's interface,
     # classifier.h:226,530-535). 8192 pairs/batch = the same 32k-lane
     # kernel shape as phase 2, so no extra search compile. ----
-    n_pairs = 12 * (BATCH // 2)  # 12 batches: steady state past pipeline fill
+    n_pairs = 6 * (BATCH // 2)  # 6 batches: steady state past pipeline fill
     pair_prefix = os.path.join("/tmp", f"cftpu_bench_pairs_{n_pairs}")
     if not os.path.exists(pair_prefix + "_1.fq"):
         simulate(os.path.join(FIXDIR, "db.fa"),
@@ -132,7 +131,7 @@ def main():
     m1 = read_batch([pair_prefix + "_1.fq"])
     m2 = read_batch([pair_prefix + "_2.fq"])
     pairs = list(zip(m1, m2))[:n_pairs]
-    pb = BATCH // 2              # 8192 pairs = the same 32k-lane shape
+    pb = BATCH // 2              # BATCH//2 pairs = the same lane shape
     pipe = TPUClassificationPipeline(idx, dfm=dfm)
     _share_shapes(pipe)
     for _ in pipe.classify_stream_paired([pairs[:pb]]):
