@@ -184,3 +184,28 @@ def test_graft_entry_contract():
     jax.block_until_ready(out)
 
     mod.dryrun_multichip(8)
+
+
+def test_shardscale_harness_fixture(tmp_path):
+    """The SHARDSCALE harness (parallel/shardscale.py) end-to-end at the
+    1 Mbp fixture: mesh classification byte-equal to the golden TSV and
+    a sane HBM budget table (nt-scale per-shard sizes shrink 1/n_fm and
+    fit v5e at fm>=4)."""
+    import json
+    from centrifuge_tpu.parallel import shardscale
+    out = tmp_path / "shardscale.json"
+    rc = shardscale.main([
+        fixture_path("synth", "synth"), fixture_path("synth", "reads.fq"),
+        "--dp", "2", "--fm", "4", "--reads-count", "3000",
+        "--batch", "1024",
+        "--ref-tsv", fixture_path("synth", "golden_output.tsv"),
+        "--out", str(out)])
+    assert rc == 0
+    data = json.loads(out.read_text())
+    assert data["parity_vs_reference_binary"] is True
+    tab = data["hbm_budget"]["table"]
+    nt = tab["64Gbp_nt_class"]
+    assert nt["fm8_per_shard_gb"] < nt["fm4_per_shard_gb"] \
+        < nt["fm1_per_shard_gb"]
+    assert nt["fm8_fits_v5e"] and nt["fm1_fits_v5p"]
+    assert data["hlo_allreduce_count"] >= 8
