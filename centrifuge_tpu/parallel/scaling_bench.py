@@ -93,11 +93,16 @@ def _sweep(argv):
                          "legs must reproduce within ~5%)")
     args = ap.parse_args(argv)
     if args.reads is None:
-        # prefer bench.py's 49k sim file (fills 2048-read batches at
-        # nprocs=4); the 3000-read fixture is the fallback
-        sim = "/tmp/cftpu_bench_sim_49152.fq"
-        args.reads = (sim if os.path.exists(sim)
-                      else "tests/fixtures/synth/reads.fq")
+        # prefer bench.py's 196k sim file (a sub-second timed region
+        # cannot resolve 5% efficiency deltas); the 3000-read fixture
+        # is the last-resort fallback
+        for sim in ("/tmp/cftpu_bench_sim_196608.fq",
+                    "/tmp/cftpu_bench_sim_49152.fq"):
+            if os.path.exists(sim):
+                args.reads = sim
+                break
+        else:
+            args.reads = "tests/fixtures/synth/reads.fq"
 
     env = dict(os.environ,
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
@@ -148,7 +153,7 @@ def _sweep(argv):
                        "--nprocs", str(nprocs), "--procid", str(pid),
                        "--local-devices", "2",
                        "-x", args.index, "-U", args.reads,
-                       "--batch", "512", "--limit", str(4096 * nprocs)]
+                       "--batch", "1024", "--limit", str(49152 * nprocs)]
                 procs.append(subprocess.Popen(
                     cmd, env=env, stdout=subprocess.PIPE,
                     stderr=subprocess.PIPE, text=True))
