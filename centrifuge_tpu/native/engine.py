@@ -233,7 +233,17 @@ class NativeAssigner:
             if gn == 0:
                 break
             seqs = [units[mu[i]][mm[i]][ms_[i]] for i in range(n)]
-            res = engine.search_first_hits(seqs, mo[:n])
+            if round_sync is None and hasattr(resolver, "first_hits"):
+                # host extension search (fmwalk.fm_first_hits): a
+                # handful of cross-strand extension misses must not pay
+                # a full-shape device round trip (~100-300 ms at 12 Gbp)
+                # nor serialize against the overlap pipeline's dev_lock.
+                # Multi-host keeps the device path (SPMD lockstep).
+                res = resolver.first_hits(seqs, mo[:n])
+                if hasattr(engine, "stats"):
+                    engine.stats["ext_lanes"] += n
+            else:
+                res = engine.search_first_hits(seqs, mo[:n])
             if n:
                 lib.batch_extension_feed(
                     bh, n,

@@ -145,6 +145,13 @@ inline int64_t lf_step(const WalkCtx& c, int64_t r) {
   return lf_c(c, r, ch);
 }
 
+// BWT code of row r (the same word/bit layout lf_step reads)
+inline int bwt_at(const WalkCtx& c, int64_t r) {
+  const uint32_t* words = c.blocks + (r >> 9) * c.row_width + c.word_off;
+  uint32_t word = words[(int)((r & 511) >> 4)];
+  return (int)((word >> (2 * (r & 15))) & 3u);
+}
+
 inline int32_t resolve_one(const WalkCtx& c, int64_t r,
                            int64_t* steps) {
   int32_t t = try_offset(c, r);
@@ -244,6 +251,91 @@ extern "C" void fm_ftab_extend(
           }
         }
       }
+    });
+  }
+  for (auto& t : ts) t.join();
+}
+
+// One greedy partialSearch per lane from a given cursor offset: the
+// host twin of the device extension search (engine.search_first_hits),
+// used by the native assignment tail so a handful of cross-strand
+// extension misses never costs a full-shape device round trip (at the
+// 12 Gbp scale one 4096-lane device ext call measured ~100-300 ms per
+// batch of <100 real lanes, and it serializes against the overlap
+// pipeline's dev_lock). Semantics mirror classify/algo.partial_search
+// (hi_aligner.h:902-1031) exactly: N in the ftab window or short tail
+// emits an empty hit (top=bot=-1), single-row ranges extend only while
+// BWT[top]==c and top!='$' (bt2_idx.h:2910-2934).
+extern "C" void fm_first_hits(
+    const uint32_t* blocks, int64_t nblk, int32_t word_off,
+    const int64_t* fchr, int64_t zoff,
+    const int64_t* ftab_top, const int64_t* ftab_bot,
+    int32_t ftab_chars,
+    const uint8_t* seqs, const int64_t* starts, const int32_t* lens,
+    const int32_t* offsets, int64_t n,
+    int64_t* h_top, int64_t* h_bot, int32_t* h_off, int32_t* h_len,
+    int32_t nthreads) {
+  WalkCtx c{blocks, nblk, word_off, word_off + 32, fchr,
+            nullptr, 0, nullptr, nullptr, 0,
+            zoff, 0, 0, 0, 0};
+  auto one = [&](int64_t i) {
+    const uint8_t* seq = seqs + starts[i];
+    int64_t nlen = lens[i];
+    int64_t offset = offsets[i];
+    int64_t dep = offset;
+    int fc = ftab_chars;
+    h_off[i] = (int32_t)offset;
+    if (nlen - dep < fc) {
+      h_top[i] = -1; h_bot[i] = -1;
+      h_len[i] = (int32_t)(nlen - offset);
+      return;
+    }
+    for (int k = 0; k < fc; ++k) {
+      if (seq[nlen - dep - 1 - k] > 3) {
+        h_top[i] = -1; h_bot[i] = -1;
+        h_len[i] = (int32_t)(dep + k + 1 - offset);
+        return;
+      }
+    }
+    int64_t fi = 0;
+    for (int k = 0; k < fc; ++k)
+      fi = (fi << 2) | (int64_t)seq[nlen - dep - fc + k];
+    int64_t top = ftab_top[fi], bot = ftab_bot[fi];
+    dep += fc;
+    if (bot <= top) {
+      h_top[i] = -1; h_bot[i] = -1;
+      h_len[i] = (int32_t)(dep - offset);
+      return;
+    }
+    while (dep < nlen) {
+      int ch = seq[nlen - dep - 1];
+      if (ch > 3) break;
+      int64_t t2, b2;
+      if (bot - top > 1) {
+        t2 = lf_c(c, top, ch);
+        b2 = lf_c(c, bot, ch);
+      } else {
+        if (top == c.zoff || bwt_at(c, top) != ch) break;
+        t2 = lf_c(c, top, ch);
+        b2 = t2 + 1;
+      }
+      if (b2 <= t2) break;
+      top = t2; bot = b2; ++dep;
+    }
+    h_top[i] = top; h_bot[i] = bot;
+    h_len[i] = (int32_t)(dep - offset);
+  };
+  if (nthreads <= 1 || n < 256) {
+    for (int64_t i = 0; i < n; ++i) one(i);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t chunk = (n + nthreads - 1) / nthreads;
+  for (int32_t t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk, hi = lo + chunk > n ? n : lo + chunk;
+    if (lo >= hi) break;
+    ts.emplace_back([&one, lo, hi]() {
+      for (int64_t i = lo; i < hi; ++i) one(i);
     });
   }
   for (auto& t : ts) t.join();

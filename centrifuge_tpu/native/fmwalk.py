@@ -22,6 +22,7 @@ _LIB_FAILED = False
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 
 
 def _load():
@@ -37,6 +38,11 @@ def _load():
             _i64p, _i32p, C.c_int64, C.c_int64, C.c_int64, C.c_int32,
             C.c_int32, C.c_int64, _i64p, _i32p, C.c_int64, C.c_int32,
             C.POINTER(C.c_int64)]
+        lib.fm_first_hits.argtypes = [
+            _u32p, C.c_int64, C.c_int32, _i64p, C.c_int64,
+            _i64p, _i64p, C.c_int32,
+            _u8p, _i64p, _i32p, _i32p, C.c_int64,
+            _i64p, _i64p, _i32p, _i32p, C.c_int32]
         _LIB = lib
     except Exception as e:
         from ..utils.fallback import warn_fallback
@@ -84,9 +90,41 @@ class HostResolver:
         # shape bucket (each padded zero-row costs a full wasted walk)
         self.needs_bucket = False
         self.nthreads = nthreads or min(8, os.cpu_count() or 1)
+        # ftab tables for the host extension search (first_hits)
+        self.ftab_top = np.ascontiguousarray(idx.ftab_top, np.int64)
+        self.ftab_bot = np.ascontiguousarray(idx.ftab_bot, np.int64)
+        self.ftab_chars = int(idx.ftab_chars)
         # cumulative LF steps across calls (--met ResBWOp; the
         # reference's WalkMetrics bwops, group_walk.h:884,987)
         self.bwops = 0
+
+    def first_hits(self, seqs, offsets):
+        """One greedy partialSearch per lane from the given offsets: the
+        host twin of engine.search_first_hits, same 6-array output shape
+        ([h_top, h_bot, h_off, h_len, nhits, sums], each (n, 1) / (n,)).
+        A handful of extension misses never pays a device round trip."""
+        n = len(seqs)
+        h_top = np.empty((n, 1), np.int64)
+        h_bot = np.empty((n, 1), np.int64)
+        h_off = np.empty((n, 1), np.int32)
+        h_len = np.empty((n, 1), np.int32)
+        nhits = np.ones(n, np.int32)
+        sums = np.zeros(n, np.int32)
+        if n == 0:
+            return [h_top, h_bot, h_off, h_len, nhits, sums]
+        lens = np.fromiter((len(s) for s in seqs), np.int32, n)
+        starts = np.cumsum(lens, dtype=np.int64) - lens
+        flat = np.ascontiguousarray(
+            np.concatenate(seqs) if lens.sum() else np.zeros(1, np.uint8),
+            np.uint8)
+        offs = np.ascontiguousarray(offsets, np.int32)
+        self.lib.fm_first_hits(
+            self.blocks, self.nblk, self.word_off, self.fchr, self.zoff,
+            self.ftab_top, self.ftab_bot, self.ftab_chars,
+            flat, starts, lens, offs, n,
+            h_top.reshape(-1), h_bot.reshape(-1),
+            h_off.reshape(-1), h_len.reshape(-1), self.nthreads)
+        return [h_top, h_bot, h_off, h_len, nhits, sums]
 
     def __call__(self, rows) -> np.ndarray:
         rows = np.ascontiguousarray(np.asarray(rows), np.int64)

@@ -254,3 +254,40 @@ def test_broken_native_lib_warns_loudly(monkeypatch, capsys):
     flagged = fb.fallbacks()
     assert any("pack.cpp" in k for k in flagged)
     assert "deliberately broken" in next(iter(flagged.values()))
+
+
+def test_host_first_hits_matches_device(synth_index):
+    """fmwalk.fm_first_hits (host extension search) must agree with the
+    device search_first_hits lane for lane: same hit ranges, same empty
+    hits for N windows / short tails / dead ranges, same lengths."""
+    import numpy as np
+    from centrifuge_tpu.classify.engine import BatchSearchEngine
+    from centrifuge_tpu.native.fmwalk import HostResolver
+    from centrifuge_tpu.ops.fm_jax import DeviceFMIndex
+
+    dfm = DeviceFMIndex.build(synth_index, keep_host_blocks=True)
+    eng = BatchSearchEngine(dfm)
+    hr = HostResolver(dfm.host_blocks, synth_index, dfm.wide)
+
+    rng = np.random.default_rng(7)
+    seqs, offs = [], []
+    for i in range(300):
+        ln = int(rng.integers(16, 200))
+        s = rng.integers(0, 4, ln).astype(np.uint8)
+        if i % 4 == 0:   # sprinkle N runs (code 4)
+            p = int(rng.integers(0, ln))
+            s[p: p + int(rng.integers(1, 12))] = 4
+        seqs.append(s)
+        offs.append(int(rng.integers(0, ln)))
+    offs = np.array(offs, np.int32)
+
+    dv = eng.search_first_hits(seqs, offs)
+    hv = hr.first_hits(seqs, offs)
+    for i in range(len(seqs)):
+        dt, db = int(dv[0][i, 0]), int(dv[1][i, 0])
+        ht, hb = int(hv[0][i, 0]), int(hv[1][i, 0])
+        assert (dt < 0) == (ht < 0), (i, dt, ht)
+        if dt >= 0:
+            assert (dt, db) == (ht, hb), (i, dt, db, ht, hb)
+        assert int(dv[2][i, 0]) == int(hv[2][i, 0]), i   # offset
+        assert int(dv[3][i, 0]) == int(hv[3][i, 0]), i   # length
