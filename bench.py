@@ -46,7 +46,9 @@ BATCH = 32768
 # amortizes it to <15% so the metric reflects streaming steady state;
 # real workloads (millions of reads) amortize it to nothing.
 N_THROUGHPUT_READS = 6 * BATCH  # full batches only: one jit shape set
-TRIALS = 3
+N_STREAM_BATCHES = 12           # per timed run, via tiling the read list
+TRIALS = 5                      # median of 5: the tunnel's dispatch-mood
+                                # variance spans ~1.5x run to run
 
 
 def _share_shapes(pipe):
@@ -99,6 +101,11 @@ def main():
     reads = read_batch([sim_prefix + ".fq"])[:N_THROUGHPUT_READS]
     n_full = (len(reads) // BATCH) * BATCH
     reads = reads[:n_full]
+    # tile to 12 batches per timed run: the ~0.8 s fill/fixed cost drops
+    # to <8% of the run, so the median reflects streaming steady state
+    while len(reads) < N_STREAM_BATCHES * BATCH:
+        reads = reads + reads
+    reads = reads[: N_STREAM_BATCHES * BATCH]
 
     # warmup at the shared shape (phase 1 already compiled it; this warms
     # the 150bp data path itself)
