@@ -99,8 +99,12 @@ def main():
                  SimConfig(num_fragments=N_THROUGHPUT_READS,
                            read_length=150, error_rate=0.002, seed=42))
     reads = read_batch([sim_prefix + ".fq"])[:N_THROUGHPUT_READS]
-    n_full = (len(reads) // BATCH) * BATCH
-    reads = reads[:n_full]
+    if len(reads) < N_THROUGHPUT_READS:
+        # a truncated sim file (e.g. a killed earlier run) must fail
+        # loudly, not hang the tiling loop below
+        raise SystemExit(
+            f"bench: {sim_prefix}.fq has {len(reads)} reads, expected "
+            f"{N_THROUGHPUT_READS}; delete it and rerun")
     # tile to 12 batches per timed run: the ~0.8 s fill/fixed cost drops
     # to <8% of the run, so the median reflects streaming steady state
     while len(reads) < N_STREAM_BATCHES * BATCH:
@@ -138,6 +142,12 @@ def main():
     m1 = read_batch([pair_prefix + "_1.fq"])
     m2 = read_batch([pair_prefix + "_2.fq"])
     pairs = list(zip(m1, m2))[:n_pairs]
+    # tile to 12 batches, matching the unpaired phase's fixed-cost
+    # amortization (an asymmetric fill share would bias the
+    # unpaired-vs-paired ratio)
+    while pairs and len(pairs) < N_STREAM_BATCHES * (BATCH // 2):
+        pairs = pairs + pairs
+    pairs = pairs[: N_STREAM_BATCHES * (BATCH // 2)]
     pb = BATCH // 2              # BATCH//2 pairs = the same lane shape
     pipe = TPUClassificationPipeline(idx, dfm=dfm)
     _share_shapes(pipe)

@@ -263,11 +263,18 @@ class TPUClassificationPipeline:
 
     def _collect(self, handle, n_lanes):
         """search_collect with the blocked-on-device time + engine
-        transfer counters folded into PerfMetrics."""
+        transfer counters folded into PerfMetrics. A handle already
+        fetched by the overlap's main thread (search_fetch) holds numpy
+        arrays; its unpack time is host work (tail_run), so only
+        unfetched handles add to collect_wait -- also avoiding a
+        two-thread += race on the same field."""
+        import numpy as _np
         import time as _t
+        fetched = isinstance(handle[0], _np.ndarray)
         t0 = _t.perf_counter()
         out = self.engine.search_collect(handle, n_lanes)
-        self.metrics.collect_wait_secs += _t.perf_counter() - t0
+        if not fetched:
+            self.metrics.collect_wait_secs += _t.perf_counter() - t0
         st = getattr(self.engine, "stats", None)
         if st is not None:
             self.metrics.upload_bytes = st["upload_bytes"]
@@ -324,11 +331,11 @@ class TPUClassificationPipeline:
     def classify_stream_unpaired(self, batches) -> "Iterator[List[str]]":
         """Pipelined streaming: the device searches batch N+1 while the
         host finishes batch N (jax dispatch is async; only the transfer
-        blocks). With the native engine, batches additionally run through
-        a 2-worker thread stage so one batch's device-wait round trips
-        overlap another's host compute (jax fetches and the ctypes calls
-        release the GIL). Output order and the shared metrics/species
-        state stay serialized on the caller's thread."""
+        blocks). With the native engine (single process), batches run
+        through the tail-thread overlap instead (_stream_overlap): the
+        main thread keeps every jax call, ONE worker runs the
+        device-free host tail FIFO, so output order and the species
+        state remain deterministic."""
         if (self.native is not None and self.cfg.threaded_stream
                 and self.sync is None
                 and getattr(self.engine, "dev_lock", None) is not None):

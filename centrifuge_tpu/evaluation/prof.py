@@ -70,7 +70,7 @@ def _time_device_only(eng, lane_seqs, batches=3, lane_lo=None):
         # perturb a dead padding lane's bytes per run: identical arg
         # contents let the tunnel serve a cached execution result
         rp = rseqp.copy()
-        rp[-1, -1] = (i + 1) & 0x33
+        rp[-1, -1] = (i + 1) & 0xFF   # unique per run (cache-bust)
         r = jnp.asarray(rp)
         r.block_until_ready()   # keep the upload out of the timing
         t0 = time.perf_counter()

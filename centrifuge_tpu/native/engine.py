@@ -242,6 +242,7 @@ class NativeAssigner:
                 res = resolver.first_hits(seqs, mo[:n])
                 if hasattr(engine, "stats"):
                     engine.stats["ext_lanes"] += n
+                    engine.stats["ext_searches"] += 1
             else:
                 res = engine.search_first_hits(seqs, mo[:n])
             if n:

@@ -171,7 +171,10 @@ def _sweep(argv):
                   f"{runs[-1]['aggregate_reads_per_sec']} reads/s",
                   flush=True)
         rates = sorted(r["aggregate_reads_per_sec"] for r in runs)
-        rec = dict(runs[0])
+        # keep only fields that are constant across trials; per-run
+        # seconds etc. from trial 0 would contradict the median rate
+        rec = {k: runs[0][k] for k in
+               ("metric", "nprocs", "n_fm", "per_process_reads")}
         rec["aggregate_reads_per_sec"] = rates[len(rates) // 2]
         rec["trial_rates"] = rates
         rec["trial_spread_pct"] = round(

@@ -139,7 +139,7 @@ def _time_device_only_sharded(eng, lane_seqs, batches=5, lane_lo=16384):
         # perturb one byte per run so the tunnel can't serve a cached
         # execution result (same trick as prof._time_device_only)
         rp = rseqp.copy()
-        rp[-1, -1] = (i + 1) & 0x33
+        rp[-1, -1] = (i + 1) & 0xFF   # unique per run (cache-bust)
         r = jnp.asarray(rp)
         r.block_until_ready()
         t0 = time.perf_counter()

@@ -128,6 +128,13 @@ def main(argv=None):
     # SA sample; constant-size sharded arrays: the 4^ftab_chars ftab
     # (both its packed unified-table rows and the (top,bot) table)
     lin_sharded = int(sh.blocks.nbytes) + int(sh.offs.nbytes)
+    # projections target >=2^31-base indexes, which always use the WIDE
+    # block layout (40 uint32/row vs narrow's 36): when this run
+    # measured a narrow index, scale the blocks component up so the
+    # fits-HBM booleans are not ~10% optimistic
+    if not sh.wide:
+        lin_sharded = (int(sh.blocks.nbytes) * 40 // 36
+                       + int(sh.offs.nbytes))
     const_sharded = (int(sh.blocks.shape[1] * 4          # packed ftab rows
                          * sh.nfr_per * sh.n_fm)
                      + int(sh.ftab_tb.nbytes))
@@ -163,6 +170,7 @@ def main(argv=None):
             "measured_const_sharded_bytes": const_sharded,
             "measured_replicated_bytes": repl,
             "bytes_per_base_sharded": round(per_base, 3),
+            "narrow_to_wide_adjusted": not sh.wide,
             "replicated_note": "boundary arrays scale with genome count "
                                "(one row per genome), not bases; the "
                                "projections keep this index's value",
